@@ -7,7 +7,11 @@ cluster" (SURVEY.md §4).
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force-override: the ambient environment pins JAX_PLATFORMS to the single
+# real TPU chip (axon tunnel); tests must not contend for it. The backend
+# resolves platforms lazily, so overriding here (before any jax op runs)
+# reliably lands tests on the virtual CPU mesh.
+os.environ["JAX_PLATFORMS"] = "cpu"
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
     os.environ["XLA_FLAGS"] = (

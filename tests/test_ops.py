@@ -1,0 +1,138 @@
+"""Tests for norms, rope, and attention (XLA vs Pallas-interpret parity)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ullava_tpu.ops import attention, apply_rotary, layer_norm, rms_norm, rope_cos_sin
+from ullava_tpu.ops.attention import attention_xla
+
+
+def test_rms_norm_matches_torch():
+    torch = pytest.importorskip("torch")
+    x = np.random.default_rng(0).standard_normal((2, 5, 16)).astype(np.float32)
+    w = np.random.default_rng(1).standard_normal((16,)).astype(np.float32)
+
+    xt = torch.tensor(x)
+    var = xt.pow(2).mean(-1, keepdim=True)
+    ref = (xt * torch.rsqrt(var + 1e-6) * torch.tensor(w)).numpy()
+
+    out = rms_norm(jnp.asarray(x), jnp.asarray(w), eps=1e-6)
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5)
+
+
+def test_layer_norm_matches_torch():
+    torch = pytest.importorskip("torch")
+    x = np.random.default_rng(0).standard_normal((2, 5, 16)).astype(np.float32)
+    w = np.random.default_rng(1).standard_normal((16,)).astype(np.float32)
+    b = np.random.default_rng(2).standard_normal((16,)).astype(np.float32)
+    ref = torch.nn.functional.layer_norm(
+        torch.tensor(x), (16,), torch.tensor(w), torch.tensor(b)
+    ).numpy()
+    out = layer_norm(jnp.asarray(x), jnp.asarray(w), jnp.asarray(b))
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5)
+
+
+def test_rope_matches_hf_reference():
+    """Check against a direct implementation of HF's rotate_half rope."""
+    rng = np.random.default_rng(0)
+    B, S, H, D = 2, 7, 3, 8
+    q = rng.standard_normal((B, S, H, D)).astype(np.float32)
+    k = rng.standard_normal((B, S, H, D)).astype(np.float32)
+    pos = np.broadcast_to(np.arange(S, dtype=np.int32), (B, S))
+
+    inv = 1.0 / (10000.0 ** (np.arange(0, D, 2) / D))
+    ang = pos[..., None] * inv  # [B,S,D/2]
+    cos = np.cos(np.concatenate([ang, ang], -1))[:, :, None, :]
+    sin = np.sin(np.concatenate([ang, ang], -1))[:, :, None, :]
+
+    def rot(x):
+        return np.concatenate([-x[..., D // 2 :], x[..., : D // 2]], -1)
+
+    ref_q = q * cos + rot(q) * sin
+
+    c, s = rope_cos_sin(jnp.asarray(pos), D)
+    out_q, out_k = apply_rotary(jnp.asarray(q), jnp.asarray(k), c, s)
+    np.testing.assert_allclose(np.asarray(out_q), ref_q, atol=1e-5)
+
+
+def test_attention_causal_matches_naive():
+    rng = np.random.default_rng(0)
+    B, S, H, D = 2, 16, 2, 8
+    q = rng.standard_normal((B, S, H, D)).astype(np.float32)
+    k = rng.standard_normal((B, S, H, D)).astype(np.float32)
+    v = rng.standard_normal((B, S, H, D)).astype(np.float32)
+
+    out = attention_xla(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), causal=True)
+    # naive per-row softmax
+    ref = np.zeros_like(q)
+    for b in range(B):
+        for h in range(H):
+            s = q[b, :, h] @ k[b, :, h].T / np.sqrt(D)
+            for i in range(S):
+                w = np.exp(s[i, : i + 1] - s[i, : i + 1].max())
+                w = w / w.sum()
+                ref[b, i, h] = w @ v[b, : i + 1, h]
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5)
+
+
+def test_attention_kv_lens_ignores_padding():
+    rng = np.random.default_rng(0)
+    B, S, H, D = 2, 12, 2, 8
+    q = rng.standard_normal((B, 1, H, D)).astype(np.float32)
+    k = rng.standard_normal((B, S, H, D)).astype(np.float32)
+    v = rng.standard_normal((B, S, H, D)).astype(np.float32)
+    lens = jnp.asarray([5, 12], dtype=jnp.int32)
+
+    out = attention_xla(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), kv_lens=lens)
+    k2, v2 = k.copy(), v.copy()
+    k2[0, 5:] = 999.0  # garbage beyond length must not matter
+    v2[0, 5:] = -999.0
+    out2 = attention_xla(jnp.asarray(q), jnp.asarray(k2), jnp.asarray(v2), kv_lens=lens)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out2), atol=1e-5)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+@pytest.mark.parametrize("lens", [None, (200, 256), (128, 77)])
+def test_flash_matches_xla_interpret(causal, lens):
+    rng = np.random.default_rng(0)
+    B, S, H, D = 2, 256, 2, 128
+    q = rng.standard_normal((B, S, H, D)).astype(np.float32)
+    k = rng.standard_normal((B, S, H, D)).astype(np.float32)
+    v = rng.standard_normal((B, S, H, D)).astype(np.float32)
+    kv_lens = None if lens is None else jnp.asarray(lens, dtype=jnp.int32)
+
+    ref = attention_xla(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), causal=causal, kv_lens=kv_lens
+    )
+    out = attention(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+        causal=causal, kv_lens=kv_lens, impl="flash_interpret",
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
+
+
+def test_flash_gradients_match_xla():
+    rng = np.random.default_rng(0)
+    B, S, H, D = 1, 128, 2, 128
+    q = jnp.asarray(rng.standard_normal((B, S, H, D)), dtype=jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, S, H, D)), dtype=jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, S, H, D)), dtype=jnp.float32)
+
+    def loss_flash(q, k, v):
+        return attention(q, k, v, causal=True, impl="flash_interpret").sum()
+
+    def loss_xla(q, k, v):
+        return attention(q, k, v, causal=True, impl="xla").sum()
+
+    g1 = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+
+
+def test_attention_rejects_bad_flash_shapes():
+    q = jnp.zeros((1, 8, 2, 64))
+    with pytest.raises(ValueError):
+        attention(q, q, q, impl="flash")

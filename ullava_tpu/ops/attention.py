@@ -1,0 +1,320 @@
+"""Attention: XLA reference path + Pallas flash-attention TPU kernel.
+
+The flash kernel implements online-softmax tiling (never materializes the
+[Sq, Sk] score matrix in HBM), with causal block skipping and per-batch
+KV-length masking for padded batches. Backward runs through a
+recompute-based custom VJP over the XLA path — numerically identical
+gradients, flash-speed forward. (A fused Pallas backward is a later
+optimization; the interface will not change.)
+
+Replaces the torch SDPA/eager attention used throughout the reference's
+towers (LLaMA decoder, CLIP ViT, SAM encoder/two-way transformer).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG_INF = -0.7 * float(jnp.finfo(jnp.float32).max)
+
+
+def _repeat_kv(x: jax.Array, n_rep: int) -> jax.Array:
+    if n_rep == 1:
+        return x
+    b, s, h, d = x.shape
+    return jnp.broadcast_to(x[:, :, :, None, :], (b, s, h, n_rep, d)).reshape(
+        b, s, h * n_rep, d
+    )
+
+
+def attention_xla(
+    q: jax.Array,  # [B, Sq, H, D]
+    k: jax.Array,  # [B, Sk, Hkv, D]
+    v: jax.Array,  # [B, Sk, Hkv, D]
+    *,
+    causal: bool = False,
+    kv_lens: Optional[jax.Array] = None,  # [B] valid KV length per batch row
+    bias: Optional[jax.Array] = None,  # [B, 1|H, Sq, Sk] additive bias
+    q_offset: int | jax.Array = 0,  # absolute position of q[0] (cached decode)
+    scale: Optional[float] = None,
+) -> jax.Array:
+    """Reference attention via einsum; fp32 softmax."""
+    b, sq, h, d = q.shape
+    sk, hkv = k.shape[1], k.shape[2]
+    if hkv != h:
+        k = _repeat_kv(k, h // hkv)
+        v = _repeat_kv(v, h // hkv)
+    if scale is None:
+        scale = d**-0.5
+
+    scores = jnp.einsum(
+        "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
+    )
+    scores = scores * scale
+    if bias is not None:
+        scores = scores + bias.astype(jnp.float32)
+    mask = None
+    if causal:
+        q_pos = q_offset + jax.lax.broadcasted_iota(jnp.int32, (sq, sk), 0)
+        k_pos = jax.lax.broadcasted_iota(jnp.int32, (sq, sk), 1)
+        mask = (k_pos <= q_pos)[None, None]
+    if kv_lens is not None:
+        k_pos = jax.lax.broadcasted_iota(jnp.int32, (b, sk), 1)
+        valid = (k_pos < kv_lens[:, None])[:, None, None, :]  # [B,1,1,Sk]
+        mask = valid if mask is None else jnp.logical_and(mask, valid)
+    if mask is not None:
+        scores = jnp.where(mask, scores, _NEG_INF)
+    probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
+    return jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+
+
+# ---------------------------------------------------------------------------
+# Pallas flash forward
+# ---------------------------------------------------------------------------
+
+
+def _flash_kernel(
+    # scalar prefetch
+    kv_lens_ref,  # [B] int32 in SMEM
+    # inputs (blocked)
+    q_ref,  # [1, 1, BQ, D]
+    k_ref,  # [1, 1, BK, D]
+    v_ref,  # [1, 1, BK, D]
+    # outputs
+    o_ref,  # [1, 1, BQ, D]
+    # scratch
+    m_ref,  # [BQ, 128] f32 running max
+    l_ref,  # [BQ, 128] f32 running denom
+    acc_ref,  # [BQ, D] f32 accumulator
+    *,
+    causal: bool,
+    scale: float,
+    block_q: int,
+    block_k: int,
+    q_offset: int,
+):
+    b = pl.program_id(0)
+    iq = pl.program_id(2)
+    ik = pl.program_id(3)
+    nk = pl.num_programs(3)
+
+    @pl.when(ik == 0)
+    def _init():
+        m_ref[...] = jnp.full_like(m_ref, _NEG_INF)
+        l_ref[...] = jnp.zeros_like(l_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    kv_len = kv_lens_ref[b]
+    q_start = q_offset + iq * block_q
+    k_start = ik * block_k
+
+    # Causal block skip: the whole k block is in the future of every q row.
+    run = True
+    if causal:
+        run = k_start <= q_start + block_q - 1
+    run = jnp.logical_and(run, k_start < kv_len)
+
+    @pl.when(run)
+    def _compute():
+        q = q_ref[0, 0].astype(jnp.float32) * scale
+        k = k_ref[0, 0].astype(jnp.float32)
+        v = v_ref[0, 0].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # [BQ, BK]
+
+        k_pos = k_start + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+        mask = k_pos < kv_len
+        if causal:
+            q_pos = q_start + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 0
+            )
+            mask = jnp.logical_and(mask, k_pos <= q_pos)
+        s = jnp.where(mask, s, _NEG_INF)
+
+        m_prev = m_ref[:, :1]  # [BQ, 1]
+        m_cur = jnp.max(s, axis=-1, keepdims=True)  # [BQ, 1]
+        m_new = jnp.maximum(m_prev, m_cur)
+        # Guard fully-masked rows (m_new == -inf) against NaN from exp.
+        p = jnp.exp(s - m_new)
+        p = jnp.where(mask, p, 0.0)
+        alpha = jnp.exp(m_prev - m_new)
+
+        l_new = alpha * l_ref[:, :1] + jnp.sum(p, axis=-1, keepdims=True)
+        acc_ref[...] = acc_ref[...] * alpha + jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        m_ref[...] = jnp.broadcast_to(m_new, m_ref.shape)
+        l_ref[...] = jnp.broadcast_to(l_new, l_ref.shape)
+
+    @pl.when(ik == nk - 1)
+    def _finalize():
+        l = l_ref[:, :1]
+        l = jnp.where(l == 0.0, 1.0, l)  # fully-masked q rows -> zeros
+        o_ref[0, 0, ...] = (acc_ref[...] / l).astype(o_ref.dtype)
+
+
+def flash_attention_fwd(
+    q: jax.Array,  # [B, H, Sq, D]
+    k: jax.Array,  # [B, H, Sk, D]
+    v: jax.Array,
+    kv_lens: jax.Array,  # [B] int32
+    *,
+    causal: bool,
+    scale: float,
+    q_offset: int = 0,
+    block_q: int = 256,
+    block_k: int = 512,
+    interpret: bool = False,
+) -> jax.Array:
+    b, h, sq, d = q.shape
+    sk = k.shape[2]
+    block_q = min(block_q, sq)
+    block_k = min(block_k, sk)
+    grid = (b, h, pl.cdiv(sq, block_q), pl.cdiv(sk, block_k))
+
+    kernel = functools.partial(
+        _flash_kernel,
+        causal=causal,
+        scale=scale,
+        block_q=block_q,
+        block_k=block_k,
+        q_offset=q_offset,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        # Index maps receive the scalar-prefetch ref as a trailing argument.
+        in_specs=[
+            pl.BlockSpec(
+                (1, 1, block_q, d), lambda b, h, iq, ik, *_: (b, h, iq, 0)
+            ),
+            pl.BlockSpec(
+                (1, 1, block_k, d), lambda b, h, iq, ik, *_: (b, h, ik, 0)
+            ),
+            pl.BlockSpec(
+                (1, 1, block_k, d), lambda b, h, iq, ik, *_: (b, h, ik, 0)
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, block_q, d), lambda b, h, iq, ik, *_: (b, h, iq, 0)
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, d), jnp.float32),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, h, sq, d), q.dtype),
+        interpret=interpret,
+    )(kv_lens.astype(jnp.int32), q, k, v)
+
+
+# ---------------------------------------------------------------------------
+# Public entry with custom VJP (flash fwd, recompute XLA bwd)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def _flash_attention(q, k, v, kv_lens, q_offset, causal, scale, interpret):
+    # [B, Sq, H, D] layout at the boundary; transpose for the kernel.
+    qt = q.transpose(0, 2, 1, 3)
+    kt = k.transpose(0, 2, 1, 3)
+    vt = v.transpose(0, 2, 1, 3)
+    out = flash_attention_fwd(
+        qt, kt, vt, kv_lens, causal=causal, scale=scale,
+        q_offset=int(q_offset), interpret=interpret,
+    )
+    return out.transpose(0, 2, 1, 3)
+
+
+def _flash_fwd_rule(q, k, v, kv_lens, q_offset, causal, scale, interpret):
+    out = _flash_attention(q, k, v, kv_lens, q_offset, causal, scale, interpret)
+    return out, (q, k, v, kv_lens, q_offset)
+
+
+def _flash_bwd_rule(causal, scale, interpret, residuals, g):
+    q, k, v, kv_lens, q_offset = residuals
+
+    def ref(q_, k_, v_):
+        return attention_xla(
+            q_, k_, v_, causal=causal, kv_lens=kv_lens,
+            q_offset=q_offset, scale=scale,
+        )
+
+    _, vjp = jax.vjp(ref, q, k, v)
+    dq, dk, dv = vjp(g)
+    return dq, dk, dv, None, None
+
+
+_flash_attention.defvjp(_flash_fwd_rule, _flash_bwd_rule)
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except RuntimeError:
+        return False
+
+
+def attention(
+    q: jax.Array,  # [B, Sq, H, D]
+    k: jax.Array,  # [B, Sk, Hkv, D]
+    v: jax.Array,
+    *,
+    causal: bool = False,
+    kv_lens: Optional[jax.Array] = None,
+    bias: Optional[jax.Array] = None,
+    q_offset: int | jax.Array = 0,
+    scale: Optional[float] = None,
+    impl: str = "auto",
+) -> jax.Array:
+    """Dispatching attention entry point.
+
+    impl: 'auto' picks the flash kernel on TPU for large-enough prefill
+    shapes without custom bias; 'xla' forces the reference path; 'flash'
+    forces the kernel (interpreted off-TPU, for tests).
+    """
+    b, sq, h, d = q.shape
+    hkv = k.shape[2]
+    if scale is None:
+        scale = d**-0.5
+
+    flash_ok = (
+        bias is None
+        and sq >= 128
+        and d % 128 == 0
+        and isinstance(q_offset, int)
+        and h == hkv
+    )
+    if impl == "auto":
+        impl = "flash" if (flash_ok and _on_tpu()) else "xla"
+    if impl == "flash" and not flash_ok:
+        raise ValueError(
+            "flash attention requires no bias, Sq>=128, head_dim%128==0, "
+            "static q_offset, and no GQA repeat"
+        )
+
+    if impl == "xla":
+        return attention_xla(
+            q, k, v, causal=causal, kv_lens=kv_lens, bias=bias,
+            q_offset=q_offset, scale=scale,
+        )
+    if impl in ("flash", "flash_interpret"):
+        if kv_lens is None:
+            kv_lens = jnp.full((b,), k.shape[1], dtype=jnp.int32)
+        return _flash_attention(
+            q, k, v, kv_lens, int(q_offset), causal, scale,
+            impl == "flash_interpret",
+        )
+    raise ValueError(f"unknown attention impl: {impl}")

@@ -1,0 +1,51 @@
+"""Rotary position embeddings (GPT-NeoX / HF-LLaMA "rotate_half" layout).
+
+The half-split layout matters: converted HF checkpoints assume q/k feature
+dims are ordered [d/2 cos-partners | d/2 sin-partners], so we implement the
+same convention rather than the interleaved original-paper layout.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def rope_cos_sin(
+    positions: jax.Array,  # [B, S] or [S] int32
+    head_dim: int,
+    theta: float = 10000.0,
+    dtype=jnp.float32,
+) -> Tuple[jax.Array, jax.Array]:
+    """cos/sin tables for the given positions: [..., S, head_dim]."""
+    inv_freq = 1.0 / (
+        theta ** (jnp.arange(0, head_dim, 2, dtype=jnp.float32) / head_dim)
+    )
+    angles = positions.astype(jnp.float32)[..., None] * inv_freq  # [..., S, d/2]
+    angles = jnp.concatenate([angles, angles], axis=-1)  # [..., S, d]
+    return jnp.cos(angles).astype(dtype), jnp.sin(angles).astype(dtype)
+
+
+def _rotate_half(x: jax.Array) -> jax.Array:
+    half = x.shape[-1] // 2
+    return jnp.concatenate([-x[..., half:], x[..., :half]], axis=-1)
+
+
+def apply_rotary(
+    q: jax.Array,  # [B, S, H, D]
+    k: jax.Array,  # [B, S, Hkv, D]
+    cos: jax.Array,  # [B, S, D] or [S, D]
+    sin: jax.Array,
+) -> Tuple[jax.Array, jax.Array]:
+    """Apply rotary embedding to q and k (head axis broadcast)."""
+    # Broadcast cos/sin over the head axis: [..., S, 1, D]
+    c = jnp.expand_dims(cos, axis=-2)
+    s = jnp.expand_dims(sin, axis=-2)
+    orig_dtype = q.dtype
+    qf, kf = q.astype(jnp.float32), k.astype(jnp.float32)
+    cf, sf = c.astype(jnp.float32), s.astype(jnp.float32)
+    q_out = qf * cf + _rotate_half(qf) * sf
+    k_out = kf * cf + _rotate_half(kf) * sf
+    return q_out.astype(orig_dtype), k_out.astype(orig_dtype)
