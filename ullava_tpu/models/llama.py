@@ -1,0 +1,220 @@
+"""LLaMA decoder, TPU-native.
+
+Replaces the HF `LlamaModel` the reference builds on
+(`/root/reference/models/ullava_core.py:78-143`): same architecture
+(RMSNorm -> rotary MHA -> RMSNorm -> SwiGLU, pre-norm residual), but
+implemented as a pure function over a parameter pytree with
+
+- `lax.scan` over stacked per-layer parameters (fast compile, natural
+  remat boundary),
+- a static-shape KV cache with *per-sample* write positions (right-padded
+  ragged batches decode without left-pad tricks),
+- flash-attention dispatch on the prefill path,
+- fp32 norms/softmax under bf16 params (TPU mixed-precision recipe).
+
+Weight layout matches converted HF checkpoints (see
+`ullava_tpu/models/weights.py`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ullava_tpu.ops.attention import attention
+from ullava_tpu.ops.norms import rms_norm
+from ullava_tpu.ops.rope import apply_rotary, rope_cos_sin
+
+Params = Dict[str, Any]
+
+
+@dataclasses.dataclass(frozen=True)
+class LlamaConfig:
+    vocab_size: int = 32000
+    hidden_size: int = 4096
+    intermediate_size: int = 11008
+    num_layers: int = 32
+    num_heads: int = 32
+    num_kv_heads: int = 32
+    max_position_embeddings: int = 2048
+    rms_norm_eps: float = 1e-6
+    rope_theta: float = 10000.0
+    dtype: Any = jnp.bfloat16
+    remat: bool = True
+    attn_impl: str = "auto"
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_heads
+
+    @classmethod
+    def tiny(cls, **kw) -> "LlamaConfig":
+        """Small config for tests/benchmarks."""
+        defaults = dict(
+            vocab_size=512,
+            hidden_size=64,
+            intermediate_size=128,
+            num_layers=2,
+            num_heads=4,
+            num_kv_heads=4,
+            max_position_embeddings=256,
+            dtype=jnp.float32,
+            remat=False,
+        )
+        defaults.update(kw)
+        return cls(**defaults)
+
+
+def init_params(rng: jax.Array, cfg: LlamaConfig) -> Params:
+    """Random-normal init (scale 0.02), stacked over layers."""
+    k = jax.random.split(rng, 12)
+    D, F, V, L = cfg.hidden_size, cfg.intermediate_size, cfg.vocab_size, cfg.num_layers
+    H, Hkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+
+    def w(key, shape):
+        return (0.02 * jax.random.normal(key, shape, jnp.float32)).astype(cfg.dtype)
+
+    return {
+        "embed_tokens": w(k[0], (V, D)),
+        "layers": {
+            "input_norm": jnp.ones((L, D), cfg.dtype),
+            "q_proj": w(k[1], (L, D, H * hd)),
+            "k_proj": w(k[2], (L, D, Hkv * hd)),
+            "v_proj": w(k[3], (L, D, Hkv * hd)),
+            "o_proj": w(k[4], (L, H * hd, D)),
+            "post_norm": jnp.ones((L, D), cfg.dtype),
+            "gate_proj": w(k[5], (L, D, F)),
+            "up_proj": w(k[6], (L, D, F)),
+            "down_proj": w(k[7], (L, F, D)),
+        },
+        "norm": jnp.ones((D,), cfg.dtype),
+        "lm_head": w(k[8], (D, V)),
+    }
+
+
+def init_kv_cache(
+    cfg: LlamaConfig, batch: int, max_len: int, dtype=None
+) -> Dict[str, jax.Array]:
+    dtype = dtype or cfg.dtype
+    shape = (cfg.num_layers, batch, max_len, cfg.num_kv_heads, cfg.head_dim)
+    return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+
+
+def _layer(
+    cfg: LlamaConfig,
+    h: jax.Array,  # [B, S, D]
+    p: Params,  # one layer's params (leading L axis already indexed away)
+    cos: jax.Array,
+    sin: jax.Array,
+    kv_lens: Optional[jax.Array],
+    cache_k: Optional[jax.Array],  # [B, maxS, Hkv, hd]
+    cache_v: Optional[jax.Array],
+    write_pos: Optional[jax.Array],  # [B] per-sample write index
+    causal: bool,
+    attn_impl: str,
+) -> Tuple[jax.Array, Optional[jax.Array], Optional[jax.Array]]:
+    B, S, D = h.shape
+    H, Hkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+
+    x = rms_norm(h, p["input_norm"], cfg.rms_norm_eps)
+    q = (x @ p["q_proj"]).reshape(B, S, H, hd)
+    k = (x @ p["k_proj"]).reshape(B, S, Hkv, hd)
+    v = (x @ p["v_proj"]).reshape(B, S, Hkv, hd)
+    q, k = apply_rotary(q, k, cos, sin)
+
+    if cache_k is not None:
+        if S == 1:
+            # Decode: scatter the new k/v at each sample's write position.
+            b_idx = jnp.arange(B)
+            cache_k = cache_k.at[b_idx, write_pos].set(k[:, 0].astype(cache_k.dtype))
+            cache_v = cache_v.at[b_idx, write_pos].set(v[:, 0].astype(cache_v.dtype))
+            attn = attention(
+                q, cache_k, cache_v, causal=False, kv_lens=kv_lens, impl="xla"
+            )
+        else:
+            # Prefill: bulk-write positions [0, S) and attend causally.
+            cache_k = jax.lax.dynamic_update_slice(
+                cache_k, k.astype(cache_k.dtype), (0, 0, 0, 0)
+            )
+            cache_v = jax.lax.dynamic_update_slice(
+                cache_v, v.astype(cache_v.dtype), (0, 0, 0, 0)
+            )
+            attn = attention(
+                q, k, v, causal=causal, kv_lens=kv_lens, impl=attn_impl
+            )
+    else:
+        attn = attention(q, k, v, causal=causal, kv_lens=kv_lens, impl=attn_impl)
+
+    h = h + attn.reshape(B, S, H * hd) @ p["o_proj"]
+
+    x = rms_norm(h, p["post_norm"], cfg.rms_norm_eps)
+    gated = jax.nn.silu(x @ p["gate_proj"]) * (x @ p["up_proj"])
+    h = h + gated @ p["down_proj"]
+    return h, cache_k, cache_v
+
+
+def forward(
+    params: Params,
+    cfg: LlamaConfig,
+    *,
+    input_ids: Optional[jax.Array] = None,  # [B, S] int32
+    inputs_embeds: Optional[jax.Array] = None,  # [B, S, D]
+    positions: Optional[jax.Array] = None,  # [B, S] int32
+    kv_lens: Optional[jax.Array] = None,  # [B] valid KV lengths
+    kv_cache: Optional[Dict[str, jax.Array]] = None,
+    write_pos: Optional[jax.Array] = None,  # [B] cache write index (S==1)
+    causal: bool = True,
+) -> Dict[str, Any]:
+    """Run the decoder stack.
+
+    Returns {"hidden_states": [B,S,D] (final, post-norm), "logits": [B,S,V],
+    "kv_cache": updated cache or None}.
+    """
+    if inputs_embeds is None:
+        inputs_embeds = embed(params, input_ids)
+    h = inputs_embeds.astype(cfg.dtype)
+    B, S, _ = h.shape
+
+    if positions is None:
+        positions = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32), (B, S))
+    cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta)
+
+    layer_params = params["layers"]
+
+    if kv_cache is None:
+
+        def body(carry, lp):
+            out, _, _ = _layer(
+                cfg, carry, lp, cos, sin, kv_lens, None, None, None,
+                causal, cfg.attn_impl,
+            )
+            return out, None
+
+        body_fn = jax.checkpoint(body) if cfg.remat else body
+        h, _ = jax.lax.scan(body_fn, h, layer_params)
+        new_cache = None
+    else:
+
+        def body(carry, xs):
+            lp, ck, cv = xs
+            out, ck, cv = _layer(
+                cfg, carry, lp, cos, sin, kv_lens, ck, cv, write_pos,
+                causal, cfg.attn_impl,
+            )
+            return out, (ck, cv)
+
+        h, (new_k, new_v) = jax.lax.scan(
+            body, h, (layer_params, kv_cache["k"], kv_cache["v"])
+        )
+        new_cache = {"k": new_k, "v": new_v}
+
+    h = rms_norm(h, params["norm"], cfg.rms_norm_eps)
+    logits = (h @ params["lm_head"]).astype(jnp.float32)
+    return {"hidden_states": h, "logits": logits, "kv_cache": new_cache}
+
+
+def embed(params: Params, input_ids: jax.Array) -> jax.Array:
+    return jnp.take(params["embed_tokens"], input_ids, axis=0)
