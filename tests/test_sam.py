@@ -1,0 +1,181 @@
+"""SAM parity vs HF SamModel (tiny random weights) + shape/geometry tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ullava_tpu.models.sam import (
+    SamConfig,
+    dense_positional_embedding,
+    encode_prompts,
+    decode_masks,
+    encode_sam_image,
+    init_sam_params,
+    sam_vit_h,
+)
+from ullava_tpu.models.sam.build import forward_masks, preprocess, upscale_masks_to_frame
+from ullava_tpu.models.sam.convert import convert_sam, normalize_sam_keys
+from ullava_tpu.models.weights import torch_module_state_dict
+
+
+@pytest.fixture(scope="module")
+def tiny_pair():
+    torch = pytest.importorskip("torch")
+    from transformers import SamConfig as HFSamConfig
+    from transformers import SamModel
+
+    hf_cfg = HFSamConfig(
+        vision_config=dict(
+            hidden_size=32, num_hidden_layers=4, num_attention_heads=2,
+            image_size=64, patch_size=16, window_size=2, global_attn_indexes=[1, 3],
+            output_channels=16, mlp_dim=128, attn_implementation="eager",
+            # HF sizes its random-Fourier PE from vision_config.num_pos_feats;
+            # keep it consistent with the prompt hidden size (16 -> 8).
+            num_pos_feats=8,
+        ),
+        prompt_encoder_config=dict(
+            hidden_size=16, image_embedding_size=4, image_size=64, mask_input_channels=4
+        ),
+        mask_decoder_config=dict(
+            hidden_size=16, num_attention_heads=2, mlp_dim=32, iou_head_hidden_dim=16
+        ),
+    )
+    torch.manual_seed(0)
+    hf = SamModel(hf_cfg).eval()
+    sd = torch_module_state_dict(hf)
+
+    cfg = SamConfig.tiny()
+    params = convert_sam(sd, cfg, dtype=jnp.float32)
+    return hf, cfg, params
+
+
+def test_normalize_keys_covers_all(tiny_pair):
+    hf, cfg, params = tiny_pair
+    sd = normalize_sam_keys(torch_module_state_dict(hf))
+    assert any(k.startswith("image_encoder.blocks.0.attn.qkv") for k in sd)
+    assert "prompt_encoder.pe_layer.positional_encoding_gaussian_matrix" in sd
+    assert "mask_decoder.output_upscaling.0.weight" in sd
+    assert "mask_decoder.iou_prediction_head.layers.2.weight" in sd
+
+
+def test_image_encoder_parity(tiny_pair):
+    torch = pytest.importorskip("torch")
+    hf, cfg, params = tiny_pair
+    rng = np.random.default_rng(0)
+    img = rng.standard_normal((2, 3, 64, 64)).astype(np.float32)
+
+    with torch.no_grad():
+        ref = hf.vision_encoder(torch.tensor(img)).last_hidden_state.numpy()  # [B,C,g,g]
+
+    out = encode_sam_image(
+        params["image_encoder"], cfg.vision, jnp.asarray(img.transpose(0, 2, 3, 1))
+    )  # [B,g,g,C]
+    np.testing.assert_allclose(
+        np.asarray(out).transpose(0, 3, 1, 2), ref, atol=5e-4, rtol=5e-4
+    )
+
+
+def test_dense_pe_parity(tiny_pair):
+    torch = pytest.importorskip("torch")
+    hf, cfg, params = tiny_pair
+    with torch.no_grad():
+        ref = hf.get_image_wide_positional_embeddings().numpy()[0]  # [D,g,g]
+    pe = dense_positional_embedding(params["prompt_encoder"], cfg.prompt)  # [g,g,D]
+    np.testing.assert_allclose(np.asarray(pe).transpose(2, 0, 1), ref, atol=1e-4)
+
+
+def test_prompt_encoder_points_parity(tiny_pair):
+    torch = pytest.importorskip("torch")
+    hf, cfg, params = tiny_pair
+    pts = np.array([[[[10.0, 20.0], [40.0, 5.0]]]], dtype=np.float32)  # [1,1,2,2]
+    labels = np.array([[[1, 0]]], dtype=np.int64)
+
+    with torch.no_grad():
+        sparse_ref, dense_ref = hf.prompt_encoder(
+            input_points=torch.tensor(pts),
+            input_labels=torch.tensor(labels),
+            input_boxes=None,
+            input_masks=None,
+        )
+    sparse, dense = encode_prompts(
+        params["prompt_encoder"], cfg.prompt, batch=1,
+        points=(jnp.asarray(pts[:, 0]), jnp.asarray(labels[:, 0].astype(np.int32))),
+    )
+    np.testing.assert_allclose(
+        np.asarray(sparse), sparse_ref.numpy().reshape(1, -1, 16), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(dense).transpose(0, 3, 1, 2), dense_ref.detach().numpy(), atol=1e-5
+    )
+
+
+def test_mask_decoder_parity(tiny_pair):
+    torch = pytest.importorskip("torch")
+    hf, cfg, params = tiny_pair
+    rng = np.random.default_rng(1)
+    B, g, D = 1, 4, 16
+    img_emb = rng.standard_normal((B, D, g, g)).astype(np.float32)
+    sparse = rng.standard_normal((B, 1, 2, D)).astype(np.float32)
+    dense = rng.standard_normal((B, D, g, g)).astype(np.float32)
+
+    with torch.no_grad():
+        image_pe = hf.get_image_wide_positional_embeddings()
+        low_ref, iou_ref = hf.mask_decoder(
+            image_embeddings=torch.tensor(img_emb),
+            image_positional_embeddings=image_pe,
+            sparse_prompt_embeddings=torch.tensor(sparse),
+            dense_prompt_embeddings=torch.tensor(dense),
+            multimask_output=False,
+        )
+
+    pe = dense_positional_embedding(params["prompt_encoder"], cfg.prompt)
+    low, iou = decode_masks(
+        params["mask_decoder"], cfg.decoder,
+        jnp.asarray(img_emb.transpose(0, 2, 3, 1)), pe,
+        jnp.asarray(sparse[:, 0]), jnp.asarray(dense.transpose(0, 2, 3, 1)),
+        multimask_output=False,
+    )
+    np.testing.assert_allclose(
+        np.asarray(low), low_ref.numpy()[:, 0], atol=5e-4, rtol=5e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(iou), iou_ref.numpy()[:, 0], atol=5e-4, rtol=5e-4
+    )
+
+
+def test_text_prompt_pipeline_shapes(tiny_pair):
+    """The u-LLaVA [SEG] path: text embeds -> per-embed masks."""
+    _, cfg, params = tiny_pair
+    rng = np.random.default_rng(2)
+    B, N = 2, 3
+    img = jnp.asarray(rng.standard_normal((B, 64, 64, 3)), jnp.float32)
+    emb = encode_sam_image(params["image_encoder"], cfg.vision, img)
+    text = jnp.asarray(rng.standard_normal((B, N, 16)), jnp.float32)
+    low, iou = forward_masks(params, cfg, emb, text)
+    assert low.shape == (B, N, 16, 16)
+    assert iou.shape == (B, N)
+    # Each text embedding must produce its own (independent) mask.
+    low_single, _ = forward_masks(params, cfg, emb, text[:, :1])
+    np.testing.assert_allclose(
+        np.asarray(low[:, 0]), np.asarray(low_single[:, 0]), atol=1e-5
+    )
+
+
+def test_preprocess_and_frame_upscale():
+    img = jnp.ones((1, 48, 64, 3), jnp.float32) * 128
+    out = preprocess(img, img_size=64)
+    assert out.shape == (1, 64, 64, 3)
+    # Padded area is exactly the normalized zero.
+    np.testing.assert_allclose(np.asarray(out[0, 50, 0]), 0.0, atol=1e-6)
+    masks = jnp.zeros((1, 2, 16, 16))
+    up = upscale_masks_to_frame(masks, img_size=64)
+    assert up.shape == (1, 2, 64, 64)
+
+
+def test_vit_h_grouping():
+    cfg = sam_vit_h()
+    cfg.vision.validate_grouping()
+    assert cfg.vision.group_period == 8
+    params = init_sam_params(jax.random.PRNGKey(0), SamConfig.tiny())
+    assert params["image_encoder"]["window_blocks"]["qkv"].shape[0] == 2  # 4 layers, 2 global

@@ -1,0 +1,236 @@
+"""SAM ViTDet image encoder, TPU-native.
+
+Functional re-design of the reference's vendored encoder
+(`/root/reference/models/segment_anything/modeling/image_encoder.py`):
+ViT backbone with window attention (period-grouped `lax.scan`) + global
+blocks, decomposed relative position bias, and a conv neck to the
+256-channel embedding. Layout is NHWC throughout; the neck's LayerNorm2d
+becomes a plain last-axis layer_norm. The reference's fp16 autocast guard
+around the neck (`image_encoder.py:118-124`) is subsumed by fp32 norm
+statistics.
+
+Blocks are stored as two stacked pytrees — window blocks [G, P-1, ...]
+and global blocks [G, ...] where the depth factors into G groups of P
+layers with a global block closing each group (true for ViT-B/L/H:
+global_attn_indexes are {P-1, 2P-1, ...}). One traced window body + one
+global body regardless of depth.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ullava_tpu.ops.attention import attention_xla
+from ullava_tpu.ops.norms import layer_norm
+
+Params = Dict[str, Any]
+
+
+@dataclasses.dataclass(frozen=True)
+class SamVisionConfig:
+    img_size: int = 1024
+    patch_size: int = 16
+    embed_dim: int = 1280
+    depth: int = 32
+    num_heads: int = 16
+    mlp_ratio: float = 4.0
+    out_chans: int = 256
+    window_size: int = 14
+    global_attn_indexes: Tuple[int, ...] = (7, 15, 23, 31)
+    use_rel_pos: bool = True
+    layer_norm_eps: float = 1e-6
+    dtype: Any = jnp.bfloat16
+
+    @property
+    def head_dim(self) -> int:
+        return self.embed_dim // self.num_heads
+
+    @property
+    def grid(self) -> int:
+        return self.img_size // self.patch_size
+
+    @property
+    def num_groups(self) -> int:
+        return len(self.global_attn_indexes)
+
+    @property
+    def group_period(self) -> int:
+        return self.depth // self.num_groups
+
+    def validate_grouping(self) -> None:
+        p = self.group_period
+        expected = tuple((i + 1) * p - 1 for i in range(self.num_groups))
+        if expected != tuple(self.global_attn_indexes) or p * self.num_groups != self.depth:
+            raise NotImplementedError(
+                f"global_attn_indexes {self.global_attn_indexes} do not close "
+                f"uniform groups of {p}; got expected {expected}"
+            )
+
+    @classmethod
+    def tiny(cls, **kw) -> "SamVisionConfig":
+        defaults = dict(
+            img_size=64, patch_size=16, embed_dim=32, depth=4, num_heads=2,
+            out_chans=16, window_size=2, global_attn_indexes=(1, 3),
+            dtype=jnp.float32,
+        )
+        defaults.update(kw)
+        return cls(**defaults)
+
+
+def _block_init(key, cfg: SamVisionConfig, n: int, window: bool) -> Params:
+    """`n` stacked transformer blocks ([] leading axis when n is None)."""
+    C, F, hd = cfg.embed_dim, int(cfg.embed_dim * cfg.mlp_ratio), cfg.head_dim
+    size = cfg.window_size if window else cfg.grid
+    rel = 2 * size - 1
+    ks = jax.random.split(key, 4)
+
+    def w(k, shape):
+        return (0.02 * jax.random.normal(k, (n,) + shape, jnp.float32)).astype(cfg.dtype)
+
+    return {
+        "ln1_scale": jnp.ones((n, C), cfg.dtype),
+        "ln1_bias": jnp.zeros((n, C), cfg.dtype),
+        "qkv": w(ks[0], (C, 3 * C)),
+        "qkv_bias": jnp.zeros((n, 3 * C), cfg.dtype),
+        "proj": w(ks[1], (C, C)),
+        "proj_bias": jnp.zeros((n, C), cfg.dtype),
+        "rel_pos_h": jnp.zeros((n, rel, hd), cfg.dtype),
+        "rel_pos_w": jnp.zeros((n, rel, hd), cfg.dtype),
+        "ln2_scale": jnp.ones((n, C), cfg.dtype),
+        "ln2_bias": jnp.zeros((n, C), cfg.dtype),
+        "fc1": w(ks[2], (C, F)),
+        "fc1_bias": jnp.zeros((n, F), cfg.dtype),
+        "fc2": w(ks[3], (F, C)),
+        "fc2_bias": jnp.zeros((n, C), cfg.dtype),
+    }
+
+
+def init_params(rng: jax.Array, cfg: SamVisionConfig) -> Params:
+    cfg.validate_grouping()
+    k = jax.random.split(rng, 6)
+    C, g = cfg.embed_dim, cfg.grid
+    patch_dim = 3 * cfg.patch_size * cfg.patch_size
+    return {
+        "patch_proj": (0.02 * jax.random.normal(k[0], (patch_dim, C), jnp.float32)).astype(cfg.dtype),
+        "patch_bias": jnp.zeros((C,), cfg.dtype),
+        "pos_embed": jnp.zeros((g, g, C), cfg.dtype),
+        "window_blocks": _block_init(k[1], cfg, cfg.num_groups * (cfg.group_period - 1), True),
+        "global_blocks": _block_init(k[2], cfg, cfg.num_groups, False),
+        "neck_conv1": (0.02 * jax.random.normal(k[3], (C, cfg.out_chans), jnp.float32)).astype(cfg.dtype),
+        "neck_ln1_scale": jnp.ones((cfg.out_chans,), cfg.dtype),
+        "neck_ln1_bias": jnp.zeros((cfg.out_chans,), cfg.dtype),
+        "neck_conv2": (0.02 * jax.random.normal(k[4], (3, 3, cfg.out_chans, cfg.out_chans), jnp.float32)).astype(cfg.dtype),
+        "neck_ln2_scale": jnp.ones((cfg.out_chans,), cfg.dtype),
+        "neck_ln2_bias": jnp.zeros((cfg.out_chans,), cfg.dtype),
+    }
+
+
+def rel_pos_bias(
+    q: jax.Array,  # [B, H, qh, qw, hd]
+    rel_pos_h: jax.Array,  # [2*size-1, hd]
+    rel_pos_w: jax.Array,
+    size: int,
+) -> jax.Array:
+    """Decomposed relative position bias (reference
+    `image_encoder.py:321-393`): bias[qh,qw,kh,kw] = q.Rh[qh,kh] + q.Rw[qw,kw]."""
+    coords = jnp.arange(size)
+    rel = coords[:, None] - coords[None, :] + (size - 1)  # [size, size]
+    Rh = rel_pos_h[rel]  # [qh, kh, hd]
+    Rw = rel_pos_w[rel]  # [qw, kw, hd]
+    qf = q.astype(jnp.float32)
+    bias_h = jnp.einsum("bhqwc,qkc->bhqwk", qf, Rh.astype(jnp.float32))
+    bias_w = jnp.einsum("bhqwc,wkc->bhqwk", qf, Rw.astype(jnp.float32))
+    # [B, H, qh, qw, kh, kw] -> [B, H, qh*qw, kh*kw]
+    B, H = q.shape[0], q.shape[1]
+    bias = bias_h[..., :, None] + bias_w[..., None, :]
+    return bias.reshape(B, H, size * size, size * size)
+
+
+def _attn(x: jax.Array, p: Params, cfg: SamVisionConfig, size: int) -> jax.Array:
+    """Self-attention over an NHWC token grid [B, size, size, C]."""
+    B = x.shape[0]
+    C, H, hd = cfg.embed_dim, cfg.num_heads, cfg.head_dim
+    S = size * size
+    qkv = (x.reshape(B, S, C) @ p["qkv"] + p["qkv_bias"]).reshape(B, S, 3, H, hd)
+    q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+    bias = None
+    if cfg.use_rel_pos:
+        q_grid = q.transpose(0, 2, 1, 3).reshape(B, H, size, size, hd)
+        # Note: the reference applies rel-pos to scaled q then re-adds to
+        # scaled logits; equivalently we fold 1/sqrt(d) into the bias here.
+        bias = rel_pos_bias(q_grid, p["rel_pos_h"], p["rel_pos_w"], size)
+    out = attention_xla(q, k, v, bias=bias, scale=hd**-0.5)
+    out = out.reshape(B, S, C) @ p["proj"] + p["proj_bias"]
+    return out.reshape(B, size, size, C)
+
+
+def _block(x: jax.Array, p: Params, cfg: SamVisionConfig, window: bool) -> jax.Array:
+    """One transformer block on [B, gh, gw, C]."""
+    B, gh, gw, C = x.shape
+    shortcut = x
+    x = layer_norm(x, p["ln1_scale"], p["ln1_bias"], cfg.layer_norm_eps)
+
+    if window:
+        ws = cfg.window_size
+        pad_h = (-gh) % ws
+        pad_w = (-gw) % ws
+        x = jnp.pad(x, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
+        Hp, Wp = gh + pad_h, gw + pad_w
+        nh, nw = Hp // ws, Wp // ws
+        x = x.reshape(B, nh, ws, nw, ws, C).transpose(0, 1, 3, 2, 4, 5)
+        x = x.reshape(B * nh * nw, ws, ws, C)
+        x = _attn(x, p, cfg, ws)
+        x = x.reshape(B, nh, nw, ws, ws, C).transpose(0, 1, 3, 2, 4, 5)
+        x = x.reshape(B, Hp, Wp, C)[:, :gh, :gw]
+    else:
+        x = _attn(x, p, cfg, gh)
+
+    x = shortcut + x
+    y = layer_norm(x, p["ln2_scale"], p["ln2_bias"], cfg.layer_norm_eps)
+    y = jax.nn.gelu(y @ p["fc1"] + p["fc1_bias"], approximate=False)
+    return x + (y @ p["fc2"] + p["fc2_bias"])
+
+
+def encode(
+    params: Params, cfg: SamVisionConfig, pixel_values: jax.Array
+) -> jax.Array:
+    """[B, img, img, 3] (SAM-normalized, padded) -> [B, grid, grid, out_chans]."""
+    cfg.validate_grouping()
+    B = pixel_values.shape[0]
+    g, C, P = cfg.grid, cfg.embed_dim, cfg.patch_size
+
+    x = pixel_values.astype(cfg.dtype)
+    x = x.reshape(B, g, P, g, P, 3).transpose(0, 1, 3, 5, 2, 4).reshape(B, g * g, 3 * P * P)
+    x = (x @ params["patch_proj"] + params["patch_bias"]).reshape(B, g, g, C)
+    x = x + params["pos_embed"][None]
+
+    G, per = cfg.num_groups, cfg.group_period - 1
+    wb = jax.tree_util.tree_map(
+        lambda a: a.reshape((G, per) + a.shape[1:]), params["window_blocks"]
+    )
+
+    def group_body(h, xs):
+        wparams, gparams = xs
+
+        def win_body(hh, wp):
+            return _block(hh, wp, cfg, window=True), None
+
+        h, _ = jax.lax.scan(win_body, h, wparams)
+        h = _block(h, gparams, cfg, window=False)
+        return h, None
+
+    x, _ = jax.lax.scan(group_body, x, (wb, params["global_blocks"]))
+
+    # Neck: 1x1 conv (matmul) -> LN -> 3x3 conv -> LN, fp32 statistics.
+    x = x @ params["neck_conv1"]
+    x = layer_norm(x, params["neck_ln1_scale"], params["neck_ln1_bias"], cfg.layer_norm_eps)
+    x = jax.lax.conv_general_dilated(
+        x, params["neck_conv2"], window_strides=(1, 1), padding="SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    x = layer_norm(x, params["neck_ln2_scale"], params["neck_ln2_bias"], cfg.layer_norm_eps)
+    return x
