@@ -53,15 +53,16 @@ def init_vision_projector(
     key, in_dim: int, out_dim: int, projector_type: str = "mlp", dtype=jnp.float32
 ) -> Params:
     if projector_type == "mlp":
-        return {"type": "mlp", **init_mlp(key, [in_dim, out_dim], dtype)}
+        return init_mlp(key, [in_dim, out_dim], dtype)
     if projector_type == "mlp2x":
-        return {"type": "mlp2x", **init_mlp(key, [in_dim, out_dim, out_dim], dtype)}
+        return init_mlp(key, [in_dim, out_dim, out_dim], dtype)
     raise NotImplementedError(f"projector type {projector_type}")
 
 
 def apply_vision_projector(params: Params, feats: jax.Array) -> jax.Array:
-    body = {k: v for k, v in params.items() if k != "type"}
-    return apply_mlp(body, feats, activation=jax.nn.gelu)
+    # 'mlp' is a single linear; 'mlp2x' interleaves GELU (inferred from the
+    # parameter structure, so checkpoints stay self-describing).
+    return apply_mlp(params, feats, activation=jax.nn.gelu)
 
 
 # -- seg/det projection heads ------------------------------------------------
