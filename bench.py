@@ -1,0 +1,158 @@
+"""North-star benchmark: stage-1 multimodal training throughput per chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "images/sec/chip", "vs_baseline": N}
+
+Baseline: the reference's only published system-performance datum —
+stage-1 pretraining takes ~6 h/epoch over the 595K-sample LLaVA-CC3M set
+on 4x A100-80G (`/root/reference/README.md:332`), i.e.
+595000 / (6*3600) / 4 = 6.887 images/sec/chip. We run the same workload
+shape TPU-native: CLIP ViT-L/14 encode + projector + LLaMA-7B decoder
+fwd/bwd (projector + input embeddings trainable, remat, bf16) on one
+chip.
+
+Env knobs: BENCH_PRESET=tiny|7b (default 7b), BENCH_BATCH, BENCH_SEQ,
+BENCH_STEPS.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# images/sec/chip derived from README.md:332 (595K samples, 6h, 4 GPUs).
+A100_BASELINE = 595_000 / (6 * 3600) / 4
+
+
+def zeros_like_tree(tree):
+    import jax
+    import jax.numpy as jnp
+
+    return jax.tree_util.tree_map(lambda l: jnp.zeros(l.shape, l.dtype), tree)
+
+
+def build(preset: str):
+    import jax
+    import jax.numpy as jnp
+
+    from ullava_tpu.models import clip_vit, llama, ullava_core
+
+    if preset == "tiny":
+        cfg = ullava_core.UllavaCoreConfig.tiny()
+    else:
+        cfg = ullava_core.UllavaCoreConfig(
+            llm=llama.LlamaConfig(dtype=jnp.bfloat16, remat=True),
+            vision=clip_vit.CLIPVisionConfig(dtype=jnp.bfloat16),
+            vision_hidden_layer=-2,
+            img_start_id=32001,
+            img_end_id=32002,
+            vid_start_id=32004,
+            vid_end_id=32005,
+        )
+    # Shapes drive FLOPs; values don't. Abstract-init then zero-fill keeps
+    # 13.5 GB of random-number generation off the profile.
+    shapes = jax.eval_shape(
+        lambda k: ullava_core.init_params(k, cfg), jax.random.PRNGKey(0)
+    )
+    params = {
+        "core": jax.tree_util.tree_map(
+            lambda l: __import__("jax").numpy.zeros(l.shape, l.dtype), shapes
+        )
+    }
+    return cfg, params
+
+
+def make_batch(cfg, batch: int, seq: int):
+    import jax.numpy as jnp
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    P = cfg.vision.num_patches
+    ids = rng.integers(5, 1000, size=(batch, seq)).astype(np.int32)
+    ids[:, 1] = cfg.img_start_id
+    ids[:, 2 : 2 + P] = 3
+    ids[:, 2 + P] = cfg.img_end_id
+    labels = ids.copy()
+    labels[:, : 2 + P + 1] = -100
+    side = cfg.vision.image_size
+    return {
+        "input_ids": jnp.asarray(ids),
+        "labels": jnp.asarray(labels),
+        "attn_lens": jnp.full((batch,), seq, jnp.int32),
+        "images": jnp.asarray(
+            rng.standard_normal((batch, side, side, 3)).astype(np.float32)
+        ),
+    }
+
+
+def run(preset: str, batch: int, seq: int, steps: int):
+    import jax
+
+    from ullava_tpu.training import optim
+    from ullava_tpu.training.train_step import (
+        jit_step,
+        make_stage1_step,
+        make_train_state,
+    )
+
+    cfg, params = build(preset)
+    tx = optim.make_optimizer(2e-3)
+    state, labels = make_train_state(params, tx, optim.STAGE1_PRETRAIN)
+    step = jit_step(make_stage1_step(cfg, tx, labels))
+    batch_data = make_batch(cfg, batch, seq)
+
+    # Warmup/compile.
+    state, metrics = step(state, batch_data)
+    jax.block_until_ready(metrics["loss"])
+    _ = float(metrics["loss"])  # host round-trip fence
+
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        state, metrics = step(state, batch_data)
+    jax.block_until_ready(metrics["loss"])
+    _ = float(metrics["loss"])
+    dt = (time.perf_counter() - t0) / steps
+    return batch / dt
+
+
+def main():
+    preset = os.environ.get("BENCH_PRESET", "7b")
+    seq = int(os.environ.get("BENCH_SEQ", "384" if preset == "7b" else "32"))
+    steps = int(os.environ.get("BENCH_STEPS", "5"))
+    batches = (
+        [int(os.environ["BENCH_BATCH"])]
+        if "BENCH_BATCH" in os.environ
+        else ([8, 4, 2, 1] if preset == "7b" else [8])
+    )
+    last_err = None
+    for b in batches:
+        try:
+            ips = run(preset, b, seq, steps)
+            print(
+                json.dumps(
+                    {
+                        "metric": (
+                            "stage1 pretrain throughput (CLIP ViT-L + proj + "
+                            f"LLaMA-7B fwd/bwd, bf16, bsz {b}, seq {seq})"
+                            if preset == "7b"
+                            else f"stage1 tiny-model throughput (bsz {b}, seq {seq})"
+                        ),
+                        "value": round(ips, 3),
+                        "unit": "images/sec/chip",
+                        "vs_baseline": round(ips / A100_BASELINE, 3),
+                    }
+                )
+            )
+            return
+        except Exception as e:  # OOM or compile failure -> smaller batch
+            last_err = e
+            continue
+    raise SystemExit(f"bench failed at all batch sizes: {last_err}")
+
+
+if __name__ == "__main__":
+    main()
