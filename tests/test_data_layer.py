@@ -1,0 +1,252 @@
+"""Data layer: RLE codec, toolboxes, processors, datasets, collators,
+builders, tasks — end-to-end on synthetic data."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from ullava_tpu.config import ConfigNode
+from ullava_tpu.constants import IGNORE_INDEX, MM_TOKENS, STAGE2_TOKENS
+from ullava_tpu.data.collators import GroundingCollator, ImageVideoCollator
+from ullava_tpu.data.loader import DataLoader
+from ullava_tpu.data.processors import CLIPProcessor
+from ullava_tpu.data.tools import DetToolBox, SegToolBox, rle
+from ullava_tpu.tasks import setup_task
+
+from toy_tokenizer import ToyLlamaTokenizer
+
+
+# --------------------------------------------------------------------------
+# RLE codec
+# --------------------------------------------------------------------------
+def test_rle_roundtrip():
+    rng = np.random.default_rng(0)
+    for _ in range(5):
+        m = (rng.random((23, 17)) > 0.6).astype(np.uint8)
+        enc = rle.encode(m)
+        np.testing.assert_array_equal(rle.decode(enc), m)
+        assert rle.area(enc) == int(m.sum())
+
+
+def test_rle_uncompressed_counts():
+    # column-major runs: 3x3 with first column all ones
+    m = np.zeros((3, 3), np.uint8)
+    m[:, 0] = 1
+    enc = {"size": [3, 3], "counts": [0, 3, 6]}
+    np.testing.assert_array_equal(rle.decode(enc), m)
+
+
+def test_rle_bbox():
+    m = np.zeros((10, 12), np.uint8)
+    m[2:5, 3:9] = 1
+    box = rle.to_bbox(rle.encode(m))
+    np.testing.assert_array_equal(box, [3, 2, 6, 3])
+
+
+def test_fr_poly_square():
+    poly = [[2, 2, 8, 2, 8, 8, 2, 8]]
+    m = rle.decode(rle.fr_poly(poly, 12, 12)[0])
+    assert m[5, 5] == 1 and m[0, 0] == 0
+    assert 36 <= m.sum() <= 49  # boundary-inclusive rasterization
+
+
+# --------------------------------------------------------------------------
+# Toolboxes
+# --------------------------------------------------------------------------
+def test_seg_toolbox_geometry():
+    tool = SegToolBox(sam_size=64)
+    img = np.full((30, 60, 3), 128, np.uint8)
+    resized = tool.apply_image(img)
+    assert resized.shape == (32, 64, 3)  # longest side -> 64
+    pre = tool.preprocess(resized)
+    assert pre.shape == (64, 64, 3)
+    assert abs(pre[40, 0, 0]) < 1e-6  # padded region is zero
+
+
+def test_det_toolbox_roundtrip():
+    tool = DetToolBox()
+    xyxy = tool.xywh2xyxy([10, 20, 30, 40])
+    assert xyxy == [10, 20, 40, 60]
+    norm = tool.pad_normalize_xyxy(xyxy, width=100, height=50)
+    back = tool.denormalize_padded_xyxy(norm, width=100, height=50)
+    np.testing.assert_allclose(back, xyxy, atol=1e-6)
+    # mask2bbox inclusive corners
+    m = np.zeros((10, 10), np.uint8)
+    m[3:6, 2:5] = 1
+    assert tool.mask2bbox(m) == [2.0, 3.0, 4.0, 5.0]
+
+
+# --------------------------------------------------------------------------
+# Processors
+# --------------------------------------------------------------------------
+def test_clip_processor_shapes_and_pad():
+    proc = CLIPProcessor(image_size=28, aspect_ratio="pad")
+    img = Image.new("RGB", (56, 28), (0, 0, 0))
+    out = proc(img)
+    assert out.shape == (28, 28, 3)
+    # white padding top/bottom -> high normalized values at the corners
+    assert out[0, 0, 0] > 1.0
+    proc2 = CLIPProcessor(image_size=28)
+    out2 = proc2(np.zeros((56, 28, 3), np.uint8))
+    assert out2.shape == (28, 28, 3)
+
+
+def test_video_sampling():
+    from ullava_tpu.data.processors.video_processor import sample_indices
+
+    idx = sample_indices(100, 8, "uniform")
+    assert len(idx) == 8 and idx == sorted(idx)
+    idx2 = sample_indices(100, 8, "headtail")
+    assert len(idx2) == 8
+    assert all(i < 50 for i in idx2[:4]) and all(i >= 50 for i in idx2[4:])
+
+
+# --------------------------------------------------------------------------
+# Datasets + builders + tasks end-to-end on synthetic data
+# --------------------------------------------------------------------------
+@pytest.fixture
+def synthetic_root(tmp_path):
+    img_dir = tmp_path / "images"
+    img_dir.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(4):
+        arr = rng.integers(0, 255, (40, 60, 3), np.uint8)
+        Image.fromarray(arr).save(img_dir / f"img{i}.jpg")
+
+    # llava-style chat annotations
+    llava_anno = [
+        {
+            "image": f"img{i}.jpg",
+            "conversations": [
+                {"from": "human", "value": "<image>\nWhat is this ?"},
+                {"from": "gpt", "value": f"A thing number {i} ."},
+            ],
+        }
+        for i in range(4)
+    ]
+    (tmp_path / "chat.json").write_text(json.dumps(llava_anno))
+
+    # RES-style annotations with polygon segmentations
+    res_anno = [
+        {
+            "image_path": f"img{i}.jpg",
+            "segmentation": [[5, 5, 30, 5, 30, 25, 5, 25]],
+            "category": "Widget",
+            "bbox": [5, 5, 25, 20],
+            "height": 40,
+            "width": 60,
+            "sentences": [f"the widget {i}", "left widget", "a thing", "fourth one"],
+        }
+        for i in range(4)
+    ]
+    with open(tmp_path / "res.jsonl", "w") as f:
+        for a in res_anno:
+            f.write(json.dumps(a) + "\n")
+    return tmp_path
+
+
+def _tokenizer():
+    tok = ToyLlamaTokenizer()
+    tok.add_tokens(MM_TOKENS)
+    tok.add_tokens(STAGE2_TOKENS)
+    return tok
+
+
+def test_llava_dataset_and_pretrain_task(synthetic_root):
+    cfg_dataset = ConfigNode({
+        "llava_cc3m": {
+            "data_type": "image",
+            "image_token_len": 4,
+            "vis_processor": "clip_image",
+            "build_info": {
+                "anno_dir": str(synthetic_root / "chat.json"),
+                "image_dir": str(synthetic_root / "images"),
+                "portion": 1.0,
+            },
+        }
+    })
+    cfg_processor = ConfigNode({"clip_image": {"image_size": 28}})
+    task = setup_task(ConfigNode({"type": "image_text_pretrain",
+                                  "collator_type": "image_video_collator"}))
+    tok = _tokenizer()
+    dataset = task.build_datasets(cfg_dataset, tok, cfg_processor)
+    assert len(dataset) == 4
+    sample = dataset[0]
+    assert sample["image"].shape == (28, 28, 3)
+    assert (sample["labels"] != IGNORE_INDEX).any()
+
+    collator = task.build_collator(tok.pad_token_id, pad_multiple=8)
+    assert isinstance(collator, ImageVideoCollator)
+    loader = DataLoader(dataset, batch_size=2, collate_fn=collator, num_workers=2)
+    batches = list(loader)
+    assert len(batches) == 2
+    b = batches[0]
+    assert b["input_ids"].shape[0] == 2
+    assert b["input_ids"].shape[1] % 8 == 0
+    assert b["images"].shape == (2, 28, 28, 3)
+    assert (b["attn_lens"] > 0).all()
+
+
+def test_res_dataset_and_grounding_collator(synthetic_root):
+    from ullava_tpu.data.builders.template_type_builder import TemplateBuilder
+
+    # author a small template bank
+    (synthetic_root / "SEG.json").write_text(
+        json.dumps(["<image> Where is the <class>?"])
+    )
+    cfg = ConfigNode({
+        "data_type": "image",
+        "image_token_len": 4,
+        "vis_processor": "clip_image",
+        "build_info": {
+            "anno_dir": str(synthetic_root / "res.jsonl"),
+            "image_dir": str(synthetic_root / "images"),
+            "template_root": str(synthetic_root / "SEG.json"),
+        },
+    })
+    tok = _tokenizer()
+    builder = TemplateBuilder(cfg, tok, "conv_simple")
+    ds = builder.build(ConfigNode({"clip_image": {"image_size": 28}}))
+    sample = ds[0]
+    assert sample["seg_mask"].shape[0] == 3  # capped at 3 sentences
+    assert sample["image_sam"].shape == (1024, 1024, 3)
+    assert sample["boxes"].shape == (3, 4)
+    assert (sample["boxes"] >= 0).all() and (sample["boxes"] <= 1).all()
+    # [SEG] tokens present and unmasked in labels
+    seg_id = tok.convert_tokens_to_ids("[SEG]")
+    assert (np.asarray(sample["input_ids"]) == seg_id).sum() == 3
+
+    coll = GroundingCollator(tok.pad_token_id, pad_multiple=8, mask_frame=64)
+    batch = coll([ds[0], ds[1]])
+    assert batch["gt_masks"].shape == (2, 3, 64, 64)
+    assert batch["mask_valid"].all()
+    assert batch["gt_boxes"].shape == (2, 3, 4)
+    assert batch["images_sam"].shape == (2, 1024, 1024, 3)
+    assert batch["input_hw"].shape == (2, 2)
+    # mask geometry: some positive pixels in the valid region only
+    f = batch["gt_masks"][0, 0]
+    assert f.sum() > 0
+    h, w = batch["input_hw"][0] * 64 // 1024
+    assert f[h:].sum() == 0  # nothing below the resized region
+
+
+def test_concat_shuffle_deterministic(synthetic_root):
+    from ullava_tpu.data.datasets import ConcatDatasetWithShuffle
+
+    class Toy:
+        def __init__(self, n, base):
+            self.n, self.base = n, base
+
+        def __len__(self):
+            return self.n
+
+        def __getitem__(self, i):
+            return self.base + i
+
+    a = ConcatDatasetWithShuffle([Toy(5, 0), Toy(5, 100)], seed=7)
+    b = ConcatDatasetWithShuffle([Toy(5, 0), Toy(5, 100)], seed=7)
+    assert [a[i] for i in range(len(a))] == [b[i] for i in range(len(b))]
+    assert len(a) == 10

@@ -225,7 +225,7 @@ def flash_attention_fwd(
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
 def _flash_attention(q, k, v, kv_lens, q_offset, causal, scale, interpret):
     # [B, Sq, H, D] layout at the boundary; transpose for the kernel.
     qt = q.transpose(0, 2, 1, 3)
@@ -240,11 +240,11 @@ def _flash_attention(q, k, v, kv_lens, q_offset, causal, scale, interpret):
 
 def _flash_fwd_rule(q, k, v, kv_lens, q_offset, causal, scale, interpret):
     out = _flash_attention(q, k, v, kv_lens, q_offset, causal, scale, interpret)
-    return out, (q, k, v, kv_lens, q_offset)
+    return out, (q, k, v, kv_lens)
 
 
-def _flash_bwd_rule(causal, scale, interpret, residuals, g):
-    q, k, v, kv_lens, q_offset = residuals
+def _flash_bwd_rule(q_offset, causal, scale, interpret, residuals, g):
+    q, k, v, kv_lens = residuals
 
     def ref(q_, k_, v_):
         return attention_xla(
@@ -254,7 +254,7 @@ def _flash_bwd_rule(causal, scale, interpret, residuals, g):
 
     _, vjp = jax.vjp(ref, q, k, v)
     dq, dk, dv = vjp(g)
-    return dq, dk, dv, None, None
+    return dq, dk, dv, None
 
 
 _flash_attention.defvjp(_flash_fwd_rule, _flash_bwd_rule)
