@@ -1,0 +1,160 @@
+"""End-to-end entry points on synthetic data with tiny random models."""
+
+import json
+import sys
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from ullava_tpu.config import Config
+from ullava_tpu.constants import MM_TOKENS
+import ullava_tpu.models.build  # noqa: F401  (registers archs)
+
+from toy_tokenizer import ToyLlamaTokenizer
+
+sys.path.insert(0, "/root/repo")
+
+
+@pytest.fixture
+def synthetic_stage2(tmp_path):
+    img_dir = tmp_path / "images"
+    img_dir.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(8):
+        Image.fromarray(
+            rng.integers(0, 255, (40, 60, 3), np.uint8)
+        ).save(img_dir / f"img{i}.jpg")
+    res_anno = [
+        {
+            "image_path": f"img{i}.jpg",
+            "segmentation": [[5, 5, 30, 5, 30, 25, 5, 25]],
+            "category": "Widget",
+            "bbox": [5, 5, 25, 20],
+            "height": 40,
+            "width": 60,
+            "sentences": [f"widget {i}"],
+        }
+        for i in range(8)
+    ]
+    with open(tmp_path / "res.jsonl", "w") as f:
+        for a in res_anno:
+            f.write(json.dumps(a) + "\n")
+    (tmp_path / "SEG.json").write_text(json.dumps(["<image> Where is the <class>?"]))
+    return tmp_path
+
+
+def _stage2_cfg(root, out_dir):
+    ds = {
+        "data_type": "image",
+        "image_token_len": 4,
+        "sam_image_size": 64,
+        "vis_processor": "clip_image",
+        "build_info": {
+            "anno_dir": str(root / "res.jsonl"),
+            "image_dir": str(root / "images"),
+            "template_root": str(root / "SEG.json"),
+        },
+    }
+    return Config(cfg_dict={
+        "model": {
+            "arch": "ullava",
+            "conv_type": "conv_sep2",
+            "projector_from_scratch": False,
+        },
+        "task": {"type": "image_text_pretrain", "collator_type": "grounding_collator"},
+        "processor": {"clip_image": {"image_size": 28}},
+        "dataset": {"refcoco": dict(ds)},
+        "eval_dataset": {"refcoco_val": dict(ds)},
+        "training": {
+            "output_dir": str(out_dir),
+            "learning_rate": 1e-3,
+            "model_max_length": 128,
+            "per_device_train_batch_size": 1,
+            "num_train_epochs": 1,
+            "evaluation_strategy": "no",
+            "logging_steps": 1,
+            "save_steps": 100,
+            "save_total_limit": 1,
+            "dataloader_num_workers": 2,
+        },
+    })
+
+
+def test_train_ullava_stage2_end_to_end(synthetic_stage2, tmp_path):
+    import train_ullava
+
+    tok = ToyLlamaTokenizer(model_max_length=128)
+    tok.add_tokens(MM_TOKENS)
+    cfg = _stage2_cfg(synthetic_stage2, tmp_path / "exp")
+    state = train_ullava.train(cfg, tokenizer=tok)
+    assert int(state.step) >= 1
+
+
+def test_eval_ullava_end_to_end(synthetic_stage2, tmp_path):
+    import eval_ullava
+
+    tok = ToyLlamaTokenizer(model_max_length=128)
+    tok.add_tokens(MM_TOKENS)
+    cfg = _stage2_cfg(synthetic_stage2, tmp_path / "eval_out")
+    results = eval_ullava.evaluate(cfg, tokenizer=tok, max_samples=2)
+    assert "refcoco_val" in results
+    m = results["refcoco_val"]
+    assert set(m) >= {"ciou", "giou", "prec@0.5"}
+    assert m["n_masks"] > 0
+    assert np.isfinite(m["ciou"])
+
+
+def test_train_ullava_core_end_to_end(tmp_path):
+    import train_ullava_core
+
+    img_dir = tmp_path / "images"
+    img_dir.mkdir()
+    rng = np.random.default_rng(1)
+    for i in range(8):
+        Image.fromarray(
+            rng.integers(0, 255, (32, 32, 3), np.uint8)
+        ).save(img_dir / f"i{i}.jpg")
+    anno = [
+        {
+            "image": f"i{i}.jpg",
+            "conversations": [
+                {"from": "human", "value": "<image>\nDescribe ."},
+                {"from": "gpt", "value": f"Thing {i} ."},
+            ],
+        }
+        for i in range(8)
+    ]
+    (tmp_path / "chat.json").write_text(json.dumps(anno))
+
+    cfg = Config(cfg_dict={
+        "model": {"arch": "ullava_core", "conv_type": "conv_simple",
+                  "projector_from_scratch": True},
+        "task": {"type": "image_text_pretrain",
+                 "collator_type": "image_video_collator"},
+        "processor": {"clip_image": {"image_size": 28}},
+        "dataset": {
+            "llava_cc3m": {
+                "data_type": "image",
+                "image_token_len": 4,
+                "vis_processor": "clip_image",
+                "build_info": {
+                    "anno_dir": str(tmp_path / "chat.json"),
+                    "image_dir": str(img_dir),
+                },
+            }
+        },
+        "training": {
+            "output_dir": str(tmp_path / "exp1"),
+            "learning_rate": 1e-3,
+            "model_max_length": 64,
+            "per_device_train_batch_size": 1,
+            "num_train_epochs": 1,
+            "logging_steps": 1,
+            "save_steps": 100,
+            "dataloader_num_workers": 2,
+        },
+    })
+    tok = ToyLlamaTokenizer(model_max_length=64)
+    state = train_ullava_core.train(cfg, tokenizer=tok)
+    assert int(state.step) >= 1

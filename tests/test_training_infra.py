@@ -1,0 +1,157 @@
+"""Token tools, LoRA, checkpointing, and the trainer loop."""
+
+import logging
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ullava_tpu.models import llama, ullava_core
+from ullava_tpu.models.tools import (
+    keyword_stop_ids,
+    multi_modal_resize_token_embedding,
+    resize_token_embeddings,
+    smart_resize_token_embedding,
+)
+from ullava_tpu.training import checkpoint as ckpt
+from ullava_tpu.training import optim
+from ullava_tpu.training.train_step import (
+    jit_step,
+    make_stage1_step,
+    make_train_state,
+)
+from ullava_tpu.training.trainer import Trainer
+
+from toy_tokenizer import ToyLlamaTokenizer
+
+
+def test_resize_token_embeddings_mean_init():
+    cfg = llama.LlamaConfig.tiny(vocab_size=16)
+    params = llama.init_params(jax.random.PRNGKey(0), cfg)
+    new = resize_token_embeddings(params, 20)
+    assert new["embed_tokens"].shape == (20, cfg.hidden_size)
+    assert new["lm_head"].shape == (cfg.hidden_size, 20)
+    mean_in = np.asarray(params["embed_tokens"]).mean(0)
+    np.testing.assert_allclose(np.asarray(new["embed_tokens"][17]), mean_in, atol=1e-5)
+    mean_out = np.asarray(params["lm_head"]).mean(1)
+    np.testing.assert_allclose(np.asarray(new["lm_head"][:, 19]), mean_out, atol=1e-5)
+    # shrinking is a no-op (vocab already covers the tokenizer)
+    same = resize_token_embeddings(params, 8)
+    assert same["embed_tokens"].shape == params["embed_tokens"].shape
+
+
+def test_multi_modal_resize_and_smart_resize():
+    tok = ToyLlamaTokenizer()
+    cfg = llama.LlamaConfig.tiny(vocab_size=len(tok))
+    params = llama.init_params(jax.random.PRNGKey(0), cfg)
+    mm = {
+        "IMG_PATCH": "<image_patch>", "VID_PATCH": "<video_patch>",
+        "IMG_START": "<img_beg>", "IMG_END": "</img_end>",
+        "VID_START": "<vid_beg>", "VID_END": "</vid_end>",
+    }
+    new, ids = multi_modal_resize_token_embedding(mm, tok, params)
+    assert new["embed_tokens"].shape[0] == len(tok)
+    assert set(ids) == set(mm)
+    # start/end tokens are mean-initialized over everything before them
+    pre = np.asarray(new["embed_tokens"][: ids["IMG_START"]]).mean(0)
+    np.testing.assert_allclose(
+        np.asarray(new["embed_tokens"][ids["IMG_START"]]), pre, atol=1e-5
+    )
+    new2, n = smart_resize_token_embedding(["[SEG]", "[LOC]"], tok, new)
+    assert n == 2 and new2["embed_tokens"].shape[0] == len(tok)
+
+
+def test_keyword_stop_ids():
+    tok = ToyLlamaTokenizer()
+    tok.add_tokens(["###"])
+    ids = keyword_stop_ids(tok, ["###"])
+    assert tok.convert_tokens_to_ids("###") in ids
+    assert tok.eos_token_id in ids
+
+
+def test_lora_zero_init_and_merge():
+    cfg = llama.LlamaConfig.tiny()
+    params = llama.init_params(jax.random.PRNGKey(0), cfg)
+    ids = jnp.asarray(np.arange(8, dtype=np.int32)[None])
+    base_out = llama.forward(params, cfg, input_ids=ids)["logits"]
+
+    lora_params = llama.add_lora(params, cfg, jax.random.PRNGKey(1), r=4)
+    lora_out = llama.forward(lora_params, cfg, input_ids=ids)["logits"]
+    np.testing.assert_allclose(np.asarray(base_out), np.asarray(lora_out), atol=1e-6)
+
+    # Non-zero B changes outputs; merging reproduces the adapted model.
+    bumped = jax.tree_util.tree_map(lambda x: x, lora_params)
+    bumped["layers"]["q_proj_lora_b"] = (
+        bumped["layers"]["q_proj_lora_b"] + 0.01
+    )
+    adapted = llama.forward(bumped, cfg, input_ids=ids)["logits"]
+    assert float(jnp.abs(adapted - base_out).max()) > 1e-4
+    merged = llama.merge_lora(bumped, cfg)
+    assert "q_proj_lora_a" not in merged["layers"]
+    merged_out = llama.forward(merged, cfg, input_ids=ids)["logits"]
+    np.testing.assert_allclose(
+        np.asarray(adapted), np.asarray(merged_out), atol=1e-4
+    )
+
+
+def test_checkpoint_roundtrip_and_rotation(tmp_path):
+    tree = {"a": jnp.arange(6.0).reshape(2, 3), "b": {"c": jnp.ones((4,), jnp.int32)}}
+    out = str(tmp_path / "exp")
+    for step in (10, 20, 30):
+        ckpt.save_checkpoint(out, step, tree, save_total_limit=2)
+    assert ckpt.list_checkpoints(out) == [20, 30]
+    assert ckpt.latest_checkpoint(out).endswith("checkpoint-30")
+    restored = ckpt.restore_checkpoint(
+        ckpt.latest_checkpoint(out), tree
+    )
+    np.testing.assert_allclose(np.asarray(restored["a"]), np.asarray(tree["a"]))
+
+
+class _ToyLoader:
+    def __init__(self, batches):
+        self.batches = batches
+
+    def __len__(self):
+        return len(self.batches)
+
+    def set_epoch(self, e):
+        pass
+
+    def __iter__(self):
+        return iter(self.batches)
+
+
+def test_trainer_loop_and_resume(tmp_path, caplog):
+    cfg = ullava_core.UllavaCoreConfig.tiny()
+    params = {"core": ullava_core.init_params(jax.random.PRNGKey(0), cfg)}
+    tx = optim.make_optimizer(5e-3)
+    state, labels = make_train_state(params, tx, optim.STAGE1_FINETUNE)
+    step = jit_step(make_stage1_step(cfg, tx, labels))
+
+    rng = np.random.default_rng(0)
+    ids = rng.integers(5, 100, size=(2, 12)).astype(np.int32)
+    batch = {
+        "input_ids": jnp.asarray(ids),
+        "labels": jnp.asarray(ids),
+        "attn_lens": jnp.full((2,), 12, jnp.int32),
+    }
+    loader = _ToyLoader([dict(batch)] * 4)
+    out_dir = str(tmp_path / "exp")
+    training_cfg = {
+        "num_train_epochs": 2, "save_steps": 3, "save_total_limit": 2,
+        "logging_steps": 2, "output_dir": out_dir,
+    }
+    with caplog.at_level(logging.INFO):
+        tr = Trainer(state=state, step_fn=step, train_loader=loader,
+                     training_cfg=training_cfg)
+        final = tr.train(resume=False)
+    assert int(final.step) == 8
+    assert ckpt.list_checkpoints(out_dir) == [6, 8]
+
+    # Resume: a fresh trainer fast-forwards past completed steps.
+    state2, _ = make_train_state(params, tx, optim.STAGE1_FINETUNE)
+    tr2 = Trainer(state=state2, step_fn=step, train_loader=loader,
+                  training_cfg=training_cfg)
+    resumed = tr2.train(resume=True)
+    assert int(resumed.step) == 8  # nothing left to do

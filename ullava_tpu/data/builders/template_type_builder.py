@@ -39,6 +39,7 @@ class TemplateBuilder(BaseDatasetBuilder):
             image_token_len=int(cfg.get("image_token_len", 256)),
             data_type=cfg.get("data_type", "image"),
             conv_type=self.conv_type,
+            sam_size=int(cfg.get("sam_image_size", 1024)),
         )
 
 

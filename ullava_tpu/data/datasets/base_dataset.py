@@ -32,6 +32,7 @@ class BaseDataset:
         seed: int = 42,
         data_type: str = "image",
         conv_type: str = "conv_simple",
+        sam_size: int = 1024,
     ):
         self.seed = seed
         self.annotation = self.get_annotations(ann_root, portion)
@@ -42,7 +43,7 @@ class BaseDataset:
         self.rng = np.random.default_rng(self.seed)
         self.data_type = data_type
         self.conv_type = conv_type
-        self.seg_tool, self.det_tool = SegToolBox(), DetToolBox()
+        self.seg_tool, self.det_tool = SegToolBox(sam_size=sam_size), DetToolBox()
 
     def __len__(self) -> int:
         return len(self.annotation)

@@ -30,11 +30,12 @@ from ullava_tpu.tokenization import preprocess, preprocess_image_text
 class SalientSegDataset(BaseDataset):
     def __init__(self, vis_processor, tokenizer, vis_root, ann_root,
                  template_root, portion=1, image_token_len=256, seed=42,
-                 data_type="image", conv_type="conv_simple"):
+                 data_type="image", conv_type="conv_simple", sam_size=1024):
         super().__init__(
             vis_processor=vis_processor, tokenizer=tokenizer, vis_root=vis_root,
             ann_root=ann_root, template_root=template_root, seed=seed,
             portion=portion, data_type=data_type, conv_type=conv_type,
+            sam_size=sam_size,
         )
         self.image_token_len = image_token_len
         self.num_sentence_per_item = 1

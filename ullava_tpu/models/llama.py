@@ -45,6 +45,8 @@ class LlamaConfig:
     dtype: Any = jnp.bfloat16
     remat: bool = True
     attn_impl: str = "auto"
+    # LoRA scaling (alpha / r); active only when *_lora_a/b params exist.
+    lora_scale: float = 2.0
 
     @property
     def head_dim(self) -> int:
@@ -120,9 +122,17 @@ def _layer(
     H, Hkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
 
     x = rms_norm(h, p["input_norm"], cfg.rms_norm_eps)
-    q = (x @ p["q_proj"]).reshape(B, S, H, hd)
-    k = (x @ p["k_proj"]).reshape(B, S, Hkv, hd)
-    v = (x @ p["v_proj"]).reshape(B, S, Hkv, hd)
+
+    def proj(name, heads):
+        y = x @ p[name]
+        if f"{name}_lora_a" in p:
+            # LoRA (r=8, alpha=16 reference defaults): W + scale * A @ B.
+            y = y + cfg.lora_scale * ((x @ p[f"{name}_lora_a"]) @ p[f"{name}_lora_b"])
+        return y.reshape(B, S, heads, hd)
+
+    q = proj("q_proj", H)
+    k = proj("k_proj", Hkv)
+    v = proj("v_proj", Hkv)
     q, k = apply_rotary(q, k, cos, sin)
 
     if cache_k is not None:
@@ -218,3 +228,48 @@ def forward(
 
 def embed(params: Params, input_ids: jax.Array) -> jax.Array:
     return jnp.take(params["embed_tokens"], input_ids, axis=0)
+
+
+# ---------------------------------------------------------------------------
+# LoRA (reference: peft r=8 alpha=16 on q_proj,v_proj,
+# `/root/reference/train_ullava.py:219-238`)
+# ---------------------------------------------------------------------------
+
+
+def add_lora(
+    params: Params,
+    cfg: LlamaConfig,
+    rng: jax.Array,
+    r: int = 8,
+    targets: Tuple[str, ...] = ("q_proj", "v_proj"),
+) -> Params:
+    """Attach zero-initialized LoRA adapters (A gaussian, B zeros) to the
+    stacked layer weights; forward picks them up by key presence."""
+    layers = dict(params["layers"])
+    for i, name in enumerate(targets):
+        w = layers[name]  # [L, in, out]
+        L, din, dout = w.shape
+        key = jax.random.fold_in(rng, i)
+        layers[f"{name}_lora_a"] = (
+            jax.random.normal(key, (L, din, r), jnp.float32) / (din**0.5)
+        ).astype(w.dtype)
+        layers[f"{name}_lora_b"] = jnp.zeros((L, r, dout), w.dtype)
+    return {**params, "layers": layers}
+
+
+def merge_lora(params: Params, cfg: LlamaConfig) -> Params:
+    """Fold adapters into the base weights (serving path); strips lora keys
+    like the reference's LoRA-aware save (`train_ullava.py:71-85`)."""
+    layers = dict(params["layers"])
+    for name in list(layers):
+        if name.endswith("_lora_a"):
+            base = name[: -len("_lora_a")]
+            a, b = layers[name], layers[base + "_lora_b"]
+            delta = cfg.lora_scale * jnp.einsum(
+                "lir,lro->lio", a.astype(jnp.float32), b.astype(jnp.float32)
+            )
+            layers[base] = (layers[base].astype(jnp.float32) + delta).astype(
+                layers[base].dtype
+            )
+            del layers[name], layers[base + "_lora_b"]
+    return {**params, "layers": layers}

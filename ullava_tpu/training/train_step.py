@@ -116,9 +116,16 @@ def make_stage1_step(
     return _make_step(loss_fn, tx, labels)
 
 
+_STAGE2_KEYS = (
+    "input_ids", "labels", "attn_lens", "images", "images_sam",
+    "gt_masks", "mask_valid", "gt_boxes", "box_valid", "input_hw",
+)
+
+
 def make_stage2_step(cfg: ullava.UllavaConfig, tx, labels) -> Callable:
     def loss_fn(params, batch):
-        out = ullava.forward(params, cfg, **batch)
+        model_batch = {k: batch[k] for k in _STAGE2_KEYS if k in batch}
+        out = ullava.forward(params, cfg, **model_batch)
         aux = {
             "ce_loss": out["ce_loss"],
             "mask_bce_loss": out["mask_bce_loss"],
