@@ -49,6 +49,12 @@ class SegToolBox:
 
     def preprocess(self, image: np.ndarray) -> np.ndarray:
         """Resized HWC image -> normalized + padded [1024, 1024, 3] f32."""
+        if image.dtype == np.uint8:
+            from ullava_tpu.data.tools import native
+
+            out = native.sam_normalize_pad(image, self.sam_size, self.mean, self.std)
+            if out is not None:
+                return out
         x = (image.astype(np.float32) - self.mean) / self.std
         h, w = x.shape[:2]
         out = np.zeros((self.sam_size, self.sam_size, 3), np.float32)

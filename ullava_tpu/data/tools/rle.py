@@ -76,12 +76,23 @@ def _norm_counts(rle: RLE) -> List[int]:
 
 
 def decode(rles: Union[RLE, Sequence[RLE]]) -> np.ndarray:
-    """RLE(s) -> uint8 mask [H, W] or [H, W, N] (pycocotools layout)."""
+    """RLE(s) -> uint8 mask [H, W] or [H, W, N] (pycocotools layout).
+    Compressed RLEs take the native C path when the library is built."""
+    from ullava_tpu.data.tools import native
+
     single = isinstance(rles, dict)
     rle_list = [rles] if single else list(rles)
     masks = []
     for r in rle_list:
         h, w = r["size"]
+        counts_raw = r["counts"]
+        if isinstance(counts_raw, str):
+            counts_raw = counts_raw.encode()
+        if isinstance(counts_raw, (bytes, bytearray)):
+            m = native.rle_decode(bytes(counts_raw), h, w)
+            if m is not None:
+                masks.append(m)
+                continue
         counts = _norm_counts(r)
         flat = np.zeros(h * w, np.uint8)
         pos = 0
