@@ -52,6 +52,9 @@ def build(preset: str):
             img_end_id=32002,
             vid_start_id=32004,
             vid_end_id=32005,
+            # Full-logit CE is ~3% faster than the fused streaming CE at
+            # the bsz-8 operating point, which fits in 16 GB HBM.
+            fused_ce=False,
         )
     # Shapes drive FLOPs; values don't. Abstract-init then zero-fill keeps
     # 13.5 GB of random-number generation off the profile.

@@ -180,3 +180,32 @@ def test_lr_schedule_shapes():
     assert float(sched(100)) < 1e-4
     cos = optim.make_lr_schedule(1e-3, 100, schedule="cosine")
     assert float(cos(100)) < 1e-4
+
+
+def test_tp_sharded_generation_matches_single_device():
+    """Serving path: jitted generate over a tp=4 mesh reproduces the
+    single-device greedy decode exactly."""
+    from ullava_tpu.models import generate as gen_mod
+    from ullava_tpu.parallel.sharding import param_shardings
+
+    cfg = ullava_core.UllavaCoreConfig.tiny()
+    params = {"core": ullava_core.init_params(jax.random.PRNGKey(5), cfg)}
+    gen = gen_mod.GenerateConfig(max_new_tokens=4, temperature=0.0)
+
+    rng = np.random.default_rng(7)
+    ids = rng.integers(5, 100, size=(2, 10)).astype(np.int32)
+    lens = jnp.asarray([10, 7], jnp.int32)
+
+    ref = gen_mod.generate(
+        params["core"], cfg, gen,
+        input_ids=jnp.asarray(ids), prompt_lens=lens,
+    )
+
+    mesh = make_mesh(MeshConfig(dp=2, fsdp=1, tp=4))
+    sharded = shard_params(params, mesh)["core"]
+    fn = gen_mod.make_generate_fn(cfg, gen)
+    out = fn(sharded, jnp.asarray(ids), lens)
+    np.testing.assert_array_equal(
+        np.asarray(out["sequences"]), np.asarray(ref["sequences"])
+    )
+    np.testing.assert_array_equal(np.asarray(out["lengths"]), np.asarray(ref["lengths"]))

@@ -208,3 +208,38 @@ def test_top_p_sampling_valid(tiny_model):
     # tokens beyond the 0.7 nucleus (cum 0.5, 0.8) must never appear
     assert counts[2] == 0 and counts[3] == 0
     assert counts[0] > 0 and counts[1] > 0
+
+
+def test_chunked_ce_matches_full(tiny_model):
+    cfg, params = tiny_model
+    rng = np.random.default_rng(9)
+    B, S = 2, 14
+    ids = rng.integers(5, 100, size=(B, S)).astype(np.int32)
+    labels = ids.copy()
+    labels[:, :5] = IGNORE_INDEX
+    labels[1, 10:] = IGNORE_INDEX
+
+    out = llama.forward(params["llm"], cfg.llm, input_ids=jnp.asarray(ids))
+    full = ullava_core.cross_entropy_loss(out["logits"], jnp.asarray(labels))
+    for n_chunks in (1, 3, 8):
+        chunked = ullava_core.chunked_cross_entropy(
+            out["hidden_states"], params["llm"]["lm_head"], jnp.asarray(labels),
+            num_chunks=n_chunks,
+        )
+        np.testing.assert_allclose(float(chunked), float(full), rtol=2e-5)
+    # gradients must match too (the point of the fused path)
+    def loss_full(lm_head):
+        p = {**params["llm"], "lm_head": lm_head}
+        o = llama.forward(p, cfg.llm, input_ids=jnp.asarray(ids))
+        return ullava_core.cross_entropy_loss(o["logits"], jnp.asarray(labels))
+
+    def loss_chunked(lm_head):
+        p = {**params["llm"], "lm_head": lm_head}
+        o = llama.forward(p, cfg.llm, input_ids=jnp.asarray(ids), compute_logits=False)
+        return ullava_core.chunked_cross_entropy(
+            o["hidden_states"], lm_head, jnp.asarray(labels), num_chunks=4
+        )
+
+    g1 = jax.grad(loss_full)(params["llm"]["lm_head"])
+    g2 = jax.grad(loss_chunked)(params["llm"]["lm_head"])
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=2e-5)

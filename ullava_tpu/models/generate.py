@@ -159,6 +159,24 @@ def generate(
     }
 
 
+def make_generate_fn(cfg, gen: GenerateConfig):
+    """jit-compiled generate closure for serving: configs are static, so
+    one compilation serves any batch of the same shape. Works under a
+    dp/tp mesh — sharded params + batch propagate through the decode
+    loop's collectives."""
+    import functools
+
+    @functools.partial(jax.jit, static_argnums=())
+    def fn(params, input_ids, prompt_lens, images=None, videos=None, rng=None):
+        return generate(
+            params, cfg, gen,
+            input_ids=input_ids, prompt_lens=prompt_lens,
+            images=images, videos=videos, rng=rng,
+        )
+
+    return fn
+
+
 def readout_token_hidden(
     sequences: jax.Array,  # [B, T]
     hidden_last: jax.Array,  # [B, T, D]

@@ -177,11 +177,13 @@ def forward(
     kv_cache: Optional[Dict[str, jax.Array]] = None,
     write_pos: Optional[jax.Array] = None,  # [B] cache write index (S==1)
     causal: bool = True,
+    compute_logits: bool = True,
 ) -> Dict[str, Any]:
     """Run the decoder stack.
 
-    Returns {"hidden_states": [B,S,D] (final, post-norm), "logits": [B,S,V],
-    "kv_cache": updated cache or None}.
+    Returns {"hidden_states": [B,S,D] (final, post-norm), "logits": [B,S,V]
+    (None when compute_logits=False — training uses the chunked fused CE
+    instead of materializing [B,S,V] fp32), "kv_cache": updated or None}.
     """
     if inputs_embeds is None:
         inputs_embeds = embed(params, input_ids)
@@ -222,7 +224,7 @@ def forward(
         new_cache = {"k": new_k, "v": new_v}
 
     h = rms_norm(h, params["norm"], cfg.rms_norm_eps)
-    logits = (h @ params["lm_head"]).astype(jnp.float32)
+    logits = (h @ params["lm_head"]).astype(jnp.float32) if compute_logits else None
     return {"hidden_states": h, "logits": logits, "kv_cache": new_cache}
 
 

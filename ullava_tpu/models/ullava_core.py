@@ -53,6 +53,10 @@ class UllavaCoreConfig:
     vid_start_id: int = -1
     vid_end_id: int = -1
     n_frm: int = 8
+    # Training CE: True streams the vocab (never materializes [B,S,V]
+    # logits; ~3% slower single-chip but frees ~0.5 GB at 7B scale);
+    # False uses the full-logit path.
+    fused_ce: bool = True
 
     @classmethod
     def tiny(cls, **kw) -> "UllavaCoreConfig":
@@ -155,6 +159,72 @@ def embed_multimodal(
     return embeds
 
 
+def chunked_cross_entropy(
+    hidden: jax.Array,  # [B, S, D] final post-norm hidden states
+    lm_head: jax.Array,  # [D, V]
+    labels: jax.Array,  # [B, S]
+    num_chunks: int = 8,
+) -> jax.Array:
+    """Shifted next-token CE without materializing [B, S, V] logits.
+
+    Streams the vocabulary in chunks with an online logsumexp (the same
+    trick flash attention uses for its softmax); a remat'd `lax.scan`
+    keeps only one [B, S, V/num_chunks] block live at a time. Saves
+    ~0.5 GB at 7B scale per (8, 384) batch, buying a larger per-chip
+    batch than the reference's full-logit path allows.
+    """
+    B, S, D = hidden.shape
+    V = lm_head.shape[1]
+    h = hidden[:, :-1]  # predict token t+1 from hidden t
+    shift_labels = labels[:, 1:]
+    valid = shift_labels != IGNORE_INDEX
+    safe_labels = jnp.where(valid, shift_labels, 0)
+
+    pad = (-V) % num_chunks
+    W = lm_head
+    if pad:
+        W = jnp.pad(W, ((0, 0), (0, pad)), constant_values=0)
+    C = (V + pad) // num_chunks
+    W_chunks = W.reshape(D, num_chunks, C).transpose(1, 0, 2)  # [n, D, C]
+
+    neg_big = jnp.float32(-1e30)
+
+    def body(carry, xs):
+        m, s, tgt = carry
+        w_c, idx = xs
+        logits_c = jnp.einsum(
+            "bsd,dc->bsc", h, w_c, preferred_element_type=jnp.float32
+        )
+        # Mask vocab padding in the final chunk.
+        col = idx * C + jax.lax.broadcasted_iota(jnp.int32, (1, 1, C), 2)
+        logits_c = jnp.where(col < V, logits_c, neg_big)
+        m_new = jnp.maximum(m, logits_c.max(axis=-1))
+        s = s * jnp.exp(m - m_new) + jnp.exp(
+            logits_c - m_new[..., None]
+        ).sum(axis=-1)
+        # Accumulate the target logit when it falls in this chunk.
+        rel = safe_labels - idx * C
+        in_chunk = (rel >= 0) & (rel < C)
+        gathered = jnp.take_along_axis(
+            logits_c, jnp.clip(rel, 0, C - 1)[..., None], axis=-1
+        )[..., 0]
+        tgt = jnp.where(in_chunk, gathered, tgt)
+        return (m_new, s, tgt), None
+
+    init = (
+        jnp.full((B, S - 1), neg_big, jnp.float32),
+        jnp.zeros((B, S - 1), jnp.float32),
+        jnp.zeros((B, S - 1), jnp.float32),
+    )
+    (m, s, tgt), _ = jax.lax.scan(
+        jax.checkpoint(body), init,
+        (W_chunks, jnp.arange(num_chunks, dtype=jnp.int32)),
+    )
+    lse = m + jnp.log(s)
+    token_loss = jnp.where(valid, lse - tgt, 0.0)
+    return token_loss.sum() / jnp.maximum(valid.sum(), 1)
+
+
 def cross_entropy_loss(
     logits: jax.Array,  # [B, S, V] (pre-shift)
     labels: jax.Array,  # [B, S] with IGNORE_INDEX masking
@@ -187,6 +257,8 @@ def forward(
 ) -> Dict[str, Any]:
     if inputs_embeds is None:
         inputs_embeds = embed_multimodal(params, cfg, input_ids, images, videos)
+    training = labels is not None
+    use_fused = training and cfg.fused_ce
     out = llama.forward(
         params["llm"], cfg.llm,
         inputs_embeds=inputs_embeds,
@@ -194,7 +266,13 @@ def forward(
         kv_cache=kv_cache,
         positions=positions,
         write_pos=write_pos,
+        compute_logits=not use_fused,
     )
-    if labels is not None:
-        out["loss"] = cross_entropy_loss(out["logits"], labels)
+    if training:
+        if use_fused:
+            out["loss"] = chunked_cross_entropy(
+                out["hidden_states"], params["llm"]["lm_head"], labels
+            )
+        else:
+            out["loss"] = cross_entropy_loss(out["logits"], labels)
     return out
