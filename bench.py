@@ -1,18 +1,19 @@
-"""North-star benchmark: stage-1 multimodal training throughput per chip.
-
-Prints ONE JSON line:
+"""North-star benchmark. Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "images/sec/chip", "vs_baseline": N}
 
-Baseline: the reference's only published system-performance datum —
-stage-1 pretraining takes ~6 h/epoch over the 595K-sample LLaVA-CC3M set
-on 4x A100-80G (`/root/reference/README.md:332`), i.e.
-595000 / (6*3600) / 4 = 6.887 images/sec/chip. We run the same workload
-shape TPU-native: CLIP ViT-L/14 encode + projector + LLaMA-7B decoder
-fwd/bwd (projector + input embeddings trainable, remat, bf16) on one
-chip.
+Presets (BENCH_PRESET):
+- "7b" (default): stage-1 training throughput — CLIP ViT-L encode +
+  projector + LLaMA-7B fwd/bwd, bf16, remat. Baseline: the reference's
+  only published system-performance datum — ~6 h/epoch over 595K samples
+  on 4x A100-80G (`/root/reference/README.md:332`) = 6.887 images/sec/chip.
+- "res": RES serving pipeline — SAM ViT-H encode (1024^2) + CLIP ViT-L +
+  7B prefill + 32-token decode + [SEG] readout + mask decode, end to end
+  on chip (BASELINE.json north star; the reference publishes no
+  throughput for it, so vs_baseline reuses the A100 stage-1 figure as the
+  only available per-chip reference point).
+- "tiny": smoke test.
 
-Env knobs: BENCH_PRESET=tiny|7b (default 7b), BENCH_BATCH, BENCH_SEQ,
-BENCH_STEPS.
+Env knobs: BENCH_BATCH, BENCH_SEQ, BENCH_STEPS.
 """
 
 from __future__ import annotations
@@ -122,8 +123,183 @@ def run(preset: str, batch: int, seq: int, steps: int):
     return batch / dt
 
 
+def build_res(batch: int):
+    """Full stage-2 serving model at reference scale, zero-filled."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ullava_tpu.models import clip_vit, llama, ullava, ullava_core
+    from ullava_tpu.models.sam import build as sam_build
+
+    core = ullava_core.UllavaCoreConfig(
+        llm=llama.LlamaConfig(dtype=jnp.bfloat16, remat=False),
+        vision=clip_vit.CLIPVisionConfig(dtype=jnp.bfloat16),
+        vision_hidden_layer=-2,
+        img_start_id=32001, img_end_id=32002,
+        vid_start_id=32004, vid_end_id=32005,
+    )
+    cfg = ullava.UllavaConfig(
+        core=core, sam=sam_build.sam_vit_h(dtype=jnp.bfloat16),
+        seg_token_idx=32007, loc_token_idx=32008,
+    )
+    shapes = jax.eval_shape(lambda k: ullava.init_params(k, cfg), jax.random.PRNGKey(0))
+
+    # int8 weight-only on the frozen towers: bf16 weights alone are 15.4
+    # of 15.75 GB on one v5e; quantizing SAM+CLIP (~1.4 GB saved) makes
+    # single-chip RES serving fit. Quantized zeros are built directly from
+    # shapes so the bf16 tree never materializes on device.
+    quant_on = os.environ.get("BENCH_QUANT", "1") == "1"
+    from ullava_tpu.ops import quant
+
+    def build_tree(node, quant_keys):
+        if hasattr(node, "shape"):
+            return jnp.zeros(node.shape, node.dtype)
+        out = {}
+        for k, v in node.items():
+            if (
+                quant_on
+                and k in quant_keys
+                and hasattr(v, "ndim")
+                and v.ndim >= 2
+            ):
+                scale_shape = v.shape[:-2] + (1,) + v.shape[-1:]
+                out[k] = {
+                    "q": jnp.zeros(v.shape, jnp.int8),
+                    "scale": jnp.ones(scale_shape, jnp.float32),
+                }
+            elif isinstance(v, dict):
+                out[k] = build_tree(v, quant_keys)
+            elif isinstance(v, list):
+                out[k] = [build_tree(x, quant_keys) for x in v]
+            else:
+                out[k] = jnp.zeros(v.shape, v.dtype)
+        return out
+
+    params = {
+        "core": {
+            # LLM weights int8 too: decode is HBM-bandwidth bound, so 4x
+            # smaller weights are both the only way the full stack fits in
+            # 16 GB and a decode-throughput win.
+            "llm": build_tree(shapes["core"]["llm"], set(quant.LLAMA_QUANT_KEYS)),
+            "vision": build_tree(shapes["core"]["vision"], set(quant.CLIP_QUANT_KEYS)),
+            "projector": build_tree(shapes["core"]["projector"], ()),
+        },
+        "sam": {
+            "image_encoder": build_tree(
+                shapes["sam"]["image_encoder"], set(quant.SAM_ENCODER_QUANT_KEYS)
+            ),
+            "prompt_encoder": build_tree(shapes["sam"]["prompt_encoder"], ()),
+            "mask_decoder": build_tree(shapes["sam"]["mask_decoder"], ()),
+        },
+        "seg_projector": build_tree(shapes["seg_projector"], ()),
+        "det_projector": build_tree(shapes["det_projector"], ()),
+        "det_decoder": build_tree(shapes["det_decoder"], ()),
+    }
+    return cfg, params
+
+
+def run_res(batch: int, steps: int, max_new_tokens: int = 32):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ullava_tpu.models import ullava
+    from ullava_tpu.models.generate import GenerateConfig
+
+    cfg, params = build_res(batch)
+    rng = np.random.default_rng(0)
+    P = cfg.core.vision.num_patches
+    prompt_len = P + 64  # 256 image tokens + prompt text
+    ids = rng.integers(5, 1000, size=(batch, prompt_len)).astype(np.int32)
+    ids[:, 1] = cfg.core.img_start_id
+    ids[:, 2 : 2 + P] = 3
+    ids[:, 2 + P] = cfg.core.img_end_id
+
+    batch_data = dict(
+        input_ids=jnp.asarray(ids),
+        prompt_lens=jnp.full((batch,), prompt_len, jnp.int32),
+        images=jnp.asarray(
+            rng.standard_normal((batch, 224, 224, 3)).astype(np.float32)
+        ),
+        images_sam=jnp.asarray(
+            rng.standard_normal((batch, 1024, 1024, 3)).astype(np.float32)
+        ),
+    )
+    gen = GenerateConfig(max_new_tokens=max_new_tokens, temperature=0.0)
+
+    # Two jit programs (generation, SAM decode) keep peak HLO-temp memory
+    # low: weights alone fill 15.4 of 15.75 GB on a single v5e.
+    from ullava_tpu.models import generate as gen_mod
+    from ullava_tpu.models import projector as proj_mod
+
+    @jax.jit
+    def serve_llm(p, b):
+        out = gen_mod.generate(
+            p["core"], cfg.core, gen,
+            input_ids=b["input_ids"], prompt_lens=b["prompt_lens"],
+            images=b["images"],
+        )
+        seg_h, seg_valid = gen_mod.readout_token_hidden(
+            out["sequences"], out["hidden_last"], out["lengths"],
+            cfg.seg_token_idx, cfg.max_masks,
+        )
+        seg_embeds = proj_mod.apply_text_head(
+            p["seg_projector"], seg_h.astype(jnp.float32)
+        )
+        return out["sequences"], out["lengths"], seg_embeds, seg_valid
+
+    @jax.jit
+    def serve_sam(p, images_sam, seg_embeds):
+        emb = ullava.get_visual_embs(p, cfg, images_sam)
+        from ullava_tpu.models.sam import build as sam_build
+
+        low, iou = sam_build.forward_masks(p["sam"], cfg.sam, emb, seg_embeds)
+        return low
+
+    def serve(p, b):
+        seqs, lens, seg_embeds, seg_valid = serve_llm(p, b)
+        low = serve_sam(p, b["images_sam"], seg_embeds)
+        return lens, low
+
+    lens, low = serve(params, batch_data)
+    jax.block_until_ready(low)
+    _ = float(lens[0])
+
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        lens, low = serve(params, batch_data)
+    jax.block_until_ready(low)
+    _ = float(lens[0])
+    dt = (time.perf_counter() - t0) / steps
+    return batch / dt
+
+
 def main():
     preset = os.environ.get("BENCH_PRESET", "7b")
+    if preset == "res":
+        steps = int(os.environ.get("BENCH_STEPS", "3"))
+        batches = (
+            [int(os.environ["BENCH_BATCH"])]
+            if "BENCH_BATCH" in os.environ else [2, 1]
+        )
+        last_err = None
+        for b in batches:
+            try:
+                ips = run_res(b, steps)
+                print(json.dumps({
+                    "metric": (
+                        "RES serving pipeline (SAM ViT-H + CLIP ViT-L + 7B "
+                        f"prefill + 32-tok decode + mask decode, int8 weights, bsz {b})"
+                    ),
+                    "value": round(ips, 3),
+                    "unit": "images/sec/chip",
+                    "vs_baseline": round(ips / A100_BASELINE, 3),
+                }))
+                return
+            except Exception as e:
+                last_err = e
+        raise SystemExit(f"res bench failed: {last_err}")
     seq = int(os.environ.get("BENCH_SEQ", "384" if preset == "7b" else "32"))
     steps = int(os.environ.get("BENCH_STEPS", "5"))
     batches = (

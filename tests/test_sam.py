@@ -179,3 +179,36 @@ def test_vit_h_grouping():
     assert cfg.vision.group_period == 8
     params = init_sam_params(jax.random.PRNGKey(0), SamConfig.tiny())
     assert params["image_encoder"]["window_blocks"]["qkv"].shape[0] == 2  # 4 layers, 2 global
+
+
+def test_int8_quantized_towers_close_to_fp(tiny_pair):
+    """Weight-only int8 on the frozen towers stays numerically close."""
+    from ullava_tpu.ops import quant
+
+    _, cfg, params = tiny_pair
+    rng = np.random.default_rng(7)
+    img = jnp.asarray(rng.standard_normal((1, 64, 64, 3)), jnp.float32)
+
+    ref = np.asarray(encode_sam_image(params["image_encoder"], cfg.vision, img))
+    qparams = quant.quantize_tree(
+        params["image_encoder"], quant.SAM_ENCODER_QUANT_KEYS
+    )
+    assert quant.is_quantized(qparams["window_blocks"]["qkv"])
+    got = np.asarray(encode_sam_image(qparams, cfg.vision, img))
+    # relative error small (random tiny weights; production impact is
+    # validated at metric level)
+    denom = np.abs(ref).mean() + 1e-6
+    assert np.abs(got - ref).mean() / denom < 0.1
+
+
+def test_quant_roundtrip_exactness():
+    from ullava_tpu.ops import quant
+
+    w = jnp.asarray(np.random.default_rng(0).standard_normal((16, 8)), jnp.float32)
+    q = quant.quantize_int8(w)
+    deq = np.asarray(quant.dequantize(q, jnp.float32))
+    assert np.abs(deq - np.asarray(w)).max() < np.abs(np.asarray(w)).max() / 100
+    x = jnp.ones((2, 16), jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(quant.apply_linear(x, q)), np.asarray(x @ deq), atol=1e-3
+    )

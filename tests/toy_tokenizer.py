@@ -17,7 +17,8 @@ import re
 from typing import Dict, List
 
 _SPECIAL_RE = re.compile(r"(</s>|<s>)")
-_WORD_RE = re.compile(r"\[[^\]\s]+\]|<[^>\s]+>|\S+")
+# Words never swallow a following special-token opener ('<' or '[').
+_WORD_RE = re.compile(r"\[[^\]\s]+\]|<[^>\s]+>|[^\s<\[]+|[<\[]")
 
 
 class ToyLlamaTokenizer:

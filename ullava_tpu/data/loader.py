@@ -26,7 +26,14 @@ class DataLoader:
         num_workers: int = 8,
         drop_last: bool = True,
         prefetch: int = 2,
+        process_index: Optional[int] = None,
+        process_count: Optional[int] = None,
     ):
+        """batch_size is the per-process batch. Under multi-host
+        (`jax.process_count() > 1`) each process reads its own stripe of
+        the seeded global order — same epoch permutation everywhere, so
+        the global batch is consistent without a distributed sampler
+        service (the torchrun DistributedSampler equivalent)."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.collate_fn = collate_fn
@@ -36,9 +43,19 @@ class DataLoader:
         self.drop_last = drop_last
         self.prefetch = prefetch
         self.epoch = 0
+        if process_index is None or process_count is None:
+            try:
+                import jax
+
+                process_index = jax.process_index()
+                process_count = jax.process_count()
+            except Exception:
+                process_index, process_count = 0, 1
+        self.process_index = process_index
+        self.process_count = process_count
 
     def __len__(self) -> int:
-        n = len(self.dataset)
+        n = len(self.dataset) // self.process_count
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
     def set_epoch(self, epoch: int) -> None:
@@ -49,7 +66,8 @@ class DataLoader:
         if self.shuffle:
             rng = np.random.default_rng(self.seed + self.epoch)
             rng.shuffle(idx)
-        return idx
+        # Per-process stripe of the shared permutation.
+        return idx[self.process_index :: self.process_count]
 
     def __iter__(self) -> Iterator:
         idx = self._indices()

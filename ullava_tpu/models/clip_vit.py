@@ -22,6 +22,7 @@ import jax.numpy as jnp
 
 from ullava_tpu.ops.attention import attention
 from ullava_tpu.ops.norms import layer_norm
+from ullava_tpu.ops.quant import apply_linear
 
 Params = Dict[str, Any]
 
@@ -120,7 +121,7 @@ def forward(
     B = pixel_values.shape[0]
     D, L = cfg.hidden_size, cfg.num_layers
 
-    x = patchify(pixel_values.astype(cfg.dtype), cfg.patch_size) @ params["patch_proj"]
+    x = apply_linear(patchify(pixel_values.astype(cfg.dtype), cfg.patch_size), params["patch_proj"])
     cls = jnp.broadcast_to(params["class_embedding"], (B, 1, D)).astype(x.dtype)
     x = jnp.concatenate([cls, x], axis=1)
     x = x + params["position_embedding"][None]
@@ -138,13 +139,13 @@ def forward(
     def body(h, p):
         y = layer_norm(h, p["ln1_scale"], p["ln1_bias"], cfg.layer_norm_eps)
         S = y.shape[1]
-        q = (y @ p["q_proj"] + p["q_bias"]).reshape(B, S, cfg.num_heads, cfg.head_dim)
-        k = (y @ p["k_proj"] + p["k_bias"]).reshape(B, S, cfg.num_heads, cfg.head_dim)
-        v = (y @ p["v_proj"] + p["v_bias"]).reshape(B, S, cfg.num_heads, cfg.head_dim)
+        q = (apply_linear(y, p["q_proj"]) + p["q_bias"]).reshape(B, S, cfg.num_heads, cfg.head_dim)
+        k = (apply_linear(y, p["k_proj"]) + p["k_bias"]).reshape(B, S, cfg.num_heads, cfg.head_dim)
+        v = (apply_linear(y, p["v_proj"]) + p["v_bias"]).reshape(B, S, cfg.num_heads, cfg.head_dim)
         a = attention(q, k, v, causal=False, impl="xla")
-        h = h + a.reshape(B, S, D) @ p["out_proj"] + p["out_bias"]
+        h = h + apply_linear(a.reshape(B, S, D), p["out_proj"]) + p["out_bias"]
         y = layer_norm(h, p["ln2_scale"], p["ln2_bias"], cfg.layer_norm_eps)
-        h = h + _quick_gelu(y @ p["fc1"] + p["fc1_bias"]) @ p["fc2"] + p["fc2_bias"]
+        h = h + apply_linear(_quick_gelu(apply_linear(y, p["fc1"]) + p["fc1_bias"]), p["fc2"]) + p["fc2_bias"]
         return h, None
 
     x, _ = jax.lax.scan(body, x, layers)

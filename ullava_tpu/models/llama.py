@@ -26,6 +26,7 @@ import jax.numpy as jnp
 
 from ullava_tpu.ops.attention import attention
 from ullava_tpu.ops.norms import rms_norm
+from ullava_tpu.ops.quant import apply_linear
 from ullava_tpu.ops.rope import apply_rotary, rope_cos_sin
 
 Params = Dict[str, Any]
@@ -124,7 +125,7 @@ def _layer(
     x = rms_norm(h, p["input_norm"], cfg.rms_norm_eps)
 
     def proj(name, heads):
-        y = x @ p[name]
+        y = apply_linear(x, p[name])
         if f"{name}_lora_a" in p:
             # LoRA (r=8, alpha=16 reference defaults): W + scale * A @ B.
             y = y + cfg.lora_scale * ((x @ p[f"{name}_lora_a"]) @ p[f"{name}_lora_b"])
@@ -158,11 +159,11 @@ def _layer(
     else:
         attn = attention(q, k, v, causal=causal, kv_lens=kv_lens, impl=attn_impl)
 
-    h = h + attn.reshape(B, S, H * hd) @ p["o_proj"]
+    h = h + apply_linear(attn.reshape(B, S, H * hd), p["o_proj"])
 
     x = rms_norm(h, p["post_norm"], cfg.rms_norm_eps)
-    gated = jax.nn.silu(x @ p["gate_proj"]) * (x @ p["up_proj"])
-    h = h + gated @ p["down_proj"]
+    gated = jax.nn.silu(apply_linear(x, p["gate_proj"])) * apply_linear(x, p["up_proj"])
+    h = h + apply_linear(gated, p["down_proj"])
     return h, cache_k, cache_v
 
 
@@ -224,7 +225,10 @@ def forward(
         new_cache = {"k": new_k, "v": new_v}
 
     h = rms_norm(h, params["norm"], cfg.rms_norm_eps)
-    logits = (h @ params["lm_head"]).astype(jnp.float32) if compute_logits else None
+    logits = (
+        apply_linear(h, params["lm_head"]).astype(jnp.float32)
+        if compute_logits else None
+    )
     return {"hidden_states": h, "logits": logits, "kv_cache": new_cache}
 
 

@@ -26,6 +26,7 @@ import jax.numpy as jnp
 
 from ullava_tpu.ops.attention import attention_xla
 from ullava_tpu.ops.norms import layer_norm
+from ullava_tpu.ops.quant import apply_linear
 
 Params = Dict[str, Any]
 
@@ -155,7 +156,7 @@ def _attn(x: jax.Array, p: Params, cfg: SamVisionConfig, size: int) -> jax.Array
     B = x.shape[0]
     C, H, hd = cfg.embed_dim, cfg.num_heads, cfg.head_dim
     S = size * size
-    qkv = (x.reshape(B, S, C) @ p["qkv"] + p["qkv_bias"]).reshape(B, S, 3, H, hd)
+    qkv = (apply_linear(x.reshape(B, S, C), p["qkv"]) + p["qkv_bias"]).reshape(B, S, 3, H, hd)
     q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
     bias = None
     if cfg.use_rel_pos:
@@ -164,7 +165,7 @@ def _attn(x: jax.Array, p: Params, cfg: SamVisionConfig, size: int) -> jax.Array
         # scaled logits; equivalently we fold 1/sqrt(d) into the bias here.
         bias = rel_pos_bias(q_grid, p["rel_pos_h"], p["rel_pos_w"], size)
     out = attention_xla(q, k, v, bias=bias, scale=hd**-0.5)
-    out = out.reshape(B, S, C) @ p["proj"] + p["proj_bias"]
+    out = apply_linear(out.reshape(B, S, C), p["proj"]) + p["proj_bias"]
     return out.reshape(B, size, size, C)
 
 
@@ -191,8 +192,8 @@ def _block(x: jax.Array, p: Params, cfg: SamVisionConfig, window: bool) -> jax.A
 
     x = shortcut + x
     y = layer_norm(x, p["ln2_scale"], p["ln2_bias"], cfg.layer_norm_eps)
-    y = jax.nn.gelu(y @ p["fc1"] + p["fc1_bias"], approximate=False)
-    return x + (y @ p["fc2"] + p["fc2_bias"])
+    y = jax.nn.gelu(apply_linear(y, p["fc1"]) + p["fc1_bias"], approximate=False)
+    return x + (apply_linear(y, p["fc2"]) + p["fc2_bias"])
 
 
 def encode(
@@ -205,7 +206,7 @@ def encode(
 
     x = pixel_values.astype(cfg.dtype)
     x = x.reshape(B, g, P, g, P, 3).transpose(0, 1, 3, 5, 2, 4).reshape(B, g * g, 3 * P * P)
-    x = (x @ params["patch_proj"] + params["patch_bias"]).reshape(B, g, g, C)
+    x = (apply_linear(x, params["patch_proj"]) + params["patch_bias"]).reshape(B, g, g, C)
     x = x + params["pos_embed"][None]
 
     G, per = cfg.num_groups, cfg.group_period - 1

@@ -1,0 +1,83 @@
+"""Int8 weight-only quantization for frozen towers.
+
+Serving on a single 16 GB v5e cannot hold the full bf16 stack
+(LLaMA-7B 13.5 GB + SAM ViT-H 1.26 GB + CLIP ViT-L 0.6 GB ≈ 15.4 GB of
+15.75 GB usable — measured OOM). The frozen SAM/CLIP encoders are
+quantization-friendly (cf. EfficientViT-SAM line of work), so their
+matmul weights store as int8 + per-output-channel scales (~4x smaller)
+and dequantize on the fly inside the matmul — weight HBM traffic drops
+4x too, which is a throughput win for the bandwidth-bound windowed
+attention projections.
+
+`apply_linear(x, w)` accepts either a plain array or a quantized
+{"q": int8, "scale": f32} leaf, so model code is layout-agnostic.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Sequence, Union
+
+import jax
+import jax.numpy as jnp
+
+QuantLeaf = Dict[str, jax.Array]
+MaybeQuant = Union[jax.Array, QuantLeaf]
+
+
+def quantize_int8(w: jax.Array) -> QuantLeaf:
+    """Symmetric per-output-channel int8: reduce over the contraction
+    axis (-2) only, so stacked [L, in, out] weights keep per-layer
+    scales (scan-sliceable)."""
+    wf = w.astype(jnp.float32)
+    scale = jnp.max(jnp.abs(wf), axis=-2, keepdims=True) / 127.0
+    scale = jnp.maximum(scale, 1e-12)
+    q = jnp.clip(jnp.round(wf / scale), -127, 127).astype(jnp.int8)
+    return {"q": q, "scale": scale.astype(jnp.float32)}
+
+
+def dequantize(leaf: MaybeQuant, dtype=jnp.bfloat16) -> jax.Array:
+    if is_quantized(leaf):
+        return (leaf["q"].astype(jnp.float32) * leaf["scale"]).astype(dtype)
+    return leaf
+
+
+def is_quantized(leaf: Any) -> bool:
+    return isinstance(leaf, dict) and "q" in leaf and "scale" in leaf
+
+
+def apply_linear(x: jax.Array, w: MaybeQuant) -> jax.Array:
+    """x @ w with transparent int8 dequant (scale folded post-matmul)."""
+    if not is_quantized(w):
+        return x @ w
+    y = jnp.matmul(x, w["q"].astype(x.dtype))
+    return (y.astype(jnp.float32) * w["scale"].reshape((1,) * (y.ndim - 1) + (-1,))).astype(
+        x.dtype
+    )
+
+
+def quantize_tree(params: Any, key_names: Sequence[str]) -> Any:
+    """Quantize every leaf whose dict key is in `key_names` (>=2-D only)."""
+    names = set(key_names)
+
+    def rec(node):
+        if isinstance(node, dict):
+            out = {}
+            for k, v in node.items():
+                if k in names and hasattr(v, "ndim") and v.ndim >= 2:
+                    out[k] = quantize_int8(v)
+                else:
+                    out[k] = rec(v)
+            return out
+        if isinstance(node, list):
+            return [rec(v) for v in node]
+        return node
+
+    return rec(params)
+
+
+SAM_ENCODER_QUANT_KEYS = ("qkv", "proj", "fc1", "fc2", "patch_proj")
+LLAMA_QUANT_KEYS = (
+    "q_proj", "k_proj", "v_proj", "o_proj",
+    "gate_proj", "up_proj", "down_proj", "lm_head",
+)
+CLIP_QUANT_KEYS = ("q_proj", "k_proj", "v_proj", "out_proj", "fc1", "fc2", "patch_proj")
