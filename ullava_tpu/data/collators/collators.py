@@ -19,7 +19,7 @@ Registered under the reference's five collator names.
 
 from __future__ import annotations
 
-from typing import Any, Dict, List, Optional, Sequence
+from typing import Any, Dict, Optional, Sequence
 
 import numpy as np
 from PIL import Image

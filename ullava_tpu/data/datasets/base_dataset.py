@@ -13,7 +13,7 @@ from __future__ import annotations
 import json
 import pathlib
 import random
-from typing import Any, Dict, List, Optional
+from typing import Dict, List
 
 import numpy as np
 

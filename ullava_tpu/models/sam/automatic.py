@@ -9,7 +9,7 @@ IoU and stability score, then deduplicated by mask-IoU NMS.
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 import jax
 import jax.numpy as jnp

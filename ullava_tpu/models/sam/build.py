@@ -13,7 +13,7 @@ only, matches the reference's dynamic interpolate semantics).
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Tuple
 
 import jax
 import jax.numpy as jnp

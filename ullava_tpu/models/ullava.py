@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from ullava_tpu.constants import DEFAULT_LOC_TOKEN_IDX, DEFAULT_SEG_TOKEN_IDX
-from ullava_tpu.models import llama, projector, ullava_core
+from ullava_tpu.models import projector, ullava_core
 from ullava_tpu.models import loss as L
 from ullava_tpu.models.sam import build as sam_build
 from ullava_tpu.models.sam import image_encoder as sam_image_encoder

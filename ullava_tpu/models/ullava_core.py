@@ -29,10 +29,7 @@ from typing import Any, Dict, Optional
 import jax
 import jax.numpy as jnp
 
-from ullava_tpu.constants import (
-    DEFAULT_IMAGE_TOKEN_LEN,
-    IGNORE_INDEX,
-)
+from ullava_tpu.constants import IGNORE_INDEX
 from ullava_tpu.models import clip_vit, llama, projector
 
 Params = Dict[str, Any]

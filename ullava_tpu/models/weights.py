@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import json
 import os
-from typing import Any, Callable, Dict, Iterable, Mapping
+from typing import Any, Dict, Mapping
 
 import numpy as np
 

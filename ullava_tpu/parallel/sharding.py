@@ -17,7 +17,6 @@ import re
 from typing import Any, Dict, Optional, Tuple
 
 import jax
-import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 # path-regex -> (fsdp axis position, tp axis position); None = replicated dim.

@@ -7,7 +7,7 @@ through their registered builders.
 
 from __future__ import annotations
 
-from typing import Dict, Optional
+from typing import Dict
 
 from ullava_tpu.registry import registry
 

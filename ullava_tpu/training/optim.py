@@ -11,15 +11,15 @@ Freeze policies mirror the reference's requires_grad surgery:
   projector, SAM encoder + prompt encoder frozen
   (`train_ullava.py:207-261`).
 
-Implemented with `optax.multi_transform` over a path-labelled tree, so
-frozen leaves carry no optimizer state (the memory win the reference gets
-from ZeRO offload falls out for free).
+Implemented by partitioning the param tree on path-pattern labels:
+gradients and Adam moments exist only for the trainable subtree (the
+memory win the reference gets from ZeRO offload falls out for free).
 """
 
 from __future__ import annotations
 
 import re
-from typing import Any, Callable, Sequence, Tuple
+from typing import Any, Sequence, Tuple
 
 import jax
 import optax

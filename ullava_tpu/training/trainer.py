@@ -15,7 +15,6 @@ import logging
 import time
 from typing import Any, Callable, Dict, Optional
 
-import jax
 import numpy as np
 
 from ullava_tpu.parallel.sharding import shard_batch
