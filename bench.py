@@ -45,8 +45,10 @@ def build(preset: str):
     if preset == "tiny":
         cfg = ullava_core.UllavaCoreConfig.tiny()
     else:
+        remat_policy = os.environ.get("BENCH_REMAT", "full")
         cfg = ullava_core.UllavaCoreConfig(
-            llm=llama.LlamaConfig(dtype=jnp.bfloat16, remat=True),
+            llm=llama.LlamaConfig(dtype=jnp.bfloat16, remat=True,
+                                  remat_policy=remat_policy),
             vision=clip_vit.CLIPVisionConfig(dtype=jnp.bfloat16),
             vision_hidden_layer=-2,
             img_start_id=32001,

@@ -250,3 +250,22 @@ def test_concat_shuffle_deterministic(synthetic_root):
     b = ConcatDatasetWithShuffle([Toy(5, 0), Toy(5, 100)], seed=7)
     assert [a[i] for i in range(len(a))] == [b[i] for i in range(len(b))]
     assert len(a) == 10
+
+
+def test_video_transform_primitives():
+    from ullava_tpu.data.tools import video_transforms as vt
+
+    rng = np.random.default_rng(0)
+    clip = rng.integers(0, 255, (3, 20, 30, 3), np.uint8)
+    c = vt.crop(clip, 2, 3, 10, 12)
+    assert c.shape == (3, 10, 12, 3)
+    r = vt.resize(clip, (16, 24))
+    assert r.shape == (3, 16, 24, 3)
+    cc = vt.center_crop(clip, (16, 16))
+    assert cc.shape == (3, 16, 16, 3)
+    f = vt.hflip(clip)
+    np.testing.assert_array_equal(f[:, :, 0], clip[:, :, -1])
+    n = vt.normalize(vt.to_float(clip), [0.5] * 3, [0.5] * 3)
+    assert abs(float(n.max())) <= 1.0 + 1e-6
+    flipper = vt.RandomHorizontalFlipVideo(p=1.0)
+    np.testing.assert_array_equal(flipper(clip), f)

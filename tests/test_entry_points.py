@@ -158,3 +158,36 @@ def test_train_ullava_core_end_to_end(tmp_path):
     tok = ToyLlamaTokenizer(model_max_length=64)
     state = train_ullava_core.train(cfg, tokenizer=tok)
     assert int(state.step) >= 1
+
+
+def test_build_ullava_restores_pretrained_checkpoint(tmp_path):
+    """build_ullava(pretrained_ullava=...) restores an orbax export."""
+    import jax
+    import jax.numpy as jnp
+
+    from ullava_tpu.models import build as model_build
+    from ullava_tpu.training import checkpoint as ckpt
+
+    tok = ToyLlamaTokenizer(model_max_length=64)
+    tok.add_tokens(MM_TOKENS)
+    model_cfg = {"arch": "ullava", "conv_type": "conv_sep2"}
+    cfg, params = model_build.build_ullava(model_cfg, tok, rng=jax.random.PRNGKey(3))
+
+    # perturb a head weight, save, rebuild from the checkpoint
+    params["seg_projector"]["fc0"]["w"] = (
+        params["seg_projector"]["fc0"]["w"] + 1.5
+    )
+    out = str(tmp_path / "full")
+    ckpt.save_checkpoint(out, 7, params)
+
+    tok2 = ToyLlamaTokenizer(model_max_length=64)
+    tok2.add_tokens(MM_TOKENS)
+    cfg2, params2 = model_build.build_ullava(
+        {**model_cfg, "pretrained_ullava": out + "/checkpoint-7"},
+        tok2, rng=jax.random.PRNGKey(99),  # different rng: must be overwritten
+    )
+    np.testing.assert_allclose(
+        np.asarray(params2["seg_projector"]["fc0"]["w"]),
+        np.asarray(params["seg_projector"]["fc0"]["w"]),
+        atol=1e-6,
+    )

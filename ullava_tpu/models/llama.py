@@ -45,6 +45,10 @@ class LlamaConfig:
     rope_theta: float = 10000.0
     dtype: Any = jnp.bfloat16
     remat: bool = True
+    # 'full' recomputes everything in backward (min memory);
+    # 'dots' saves matmul outputs (no MXU recompute, ~4/3 fewer FLOPs,
+    # more activation memory).
+    remat_policy: str = "full"
     attn_impl: str = "auto"
     # LoRA scaling (alpha / r); active only when *_lora_a/b params exist.
     lora_scale: float = 2.0
@@ -206,7 +210,14 @@ def forward(
             )
             return out, None
 
-        body_fn = jax.checkpoint(body) if cfg.remat else body
+        if cfg.remat:
+            if cfg.remat_policy == "dots":
+                policy = jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+                body_fn = jax.checkpoint(body, policy=policy)
+            else:
+                body_fn = jax.checkpoint(body)
+        else:
+            body_fn = body
         h, _ = jax.lax.scan(body_fn, h, layer_params)
         new_cache = None
     else:
