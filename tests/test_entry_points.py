@@ -191,3 +191,56 @@ def test_build_ullava_restores_pretrained_checkpoint(tmp_path):
         np.asarray(params["seg_projector"]["fc0"]["w"]),
         atol=1e-6,
     )
+
+
+def test_build_from_hf_checkpoint_dirs(tmp_path):
+    """Production path: llm_path/vision_encoder point at HF checkpoint
+    dirs on disk (config.json + safetensors); weights convert and the
+    model's logits match the torch original."""
+    torch = pytest.importorskip("torch")
+    import jax.numpy as jnp
+    from transformers import (
+        CLIPVisionConfig as HFCLIPCfg,
+        CLIPVisionModel,
+        LlamaConfig as HFLlamaCfg,
+        LlamaForCausalLM,
+    )
+
+    from ullava_tpu.models import build as model_build, ullava_core
+
+    torch.manual_seed(0)
+    hf_llama = LlamaForCausalLM(HFLlamaCfg(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=4,
+        max_position_embeddings=128, attn_implementation="eager",
+    )).eval()
+    llm_dir = tmp_path / "llm"
+    hf_llama.save_pretrained(llm_dir)
+
+    hf_clip = CLIPVisionModel(HFCLIPCfg(
+        hidden_size=64, intermediate_size=128, num_hidden_layers=3,
+        num_attention_heads=4, image_size=28, patch_size=14,
+        attn_implementation="eager",
+    )).eval()
+    vis_dir = tmp_path / "vis"
+    hf_clip.save_pretrained(vis_dir)
+
+    tok = ToyLlamaTokenizer(model_max_length=64)
+    # vocab smaller than embedding table: resize becomes a no-op
+    cfg, params = model_build.build_ullava_core(
+        {"llm_path": str(llm_dir), "vision_encoder": str(vis_dir),
+         "vision_hidden_layer": -2, "conv_type": "conv_simple"},
+        tok, dtype=jnp.float32,
+    )
+    assert cfg.llm.num_layers == 2
+    assert cfg.vision.num_layers == 3
+
+    ids = np.arange(10, dtype=np.int32)[None]
+    with torch.no_grad():
+        ref = hf_llama(torch.tensor(ids, dtype=torch.long)).logits.numpy()
+    from ullava_tpu.models import llama as llama_mod
+
+    got = llama_mod.forward(params["llm"], cfg.llm, input_ids=jnp.asarray(ids))
+    np.testing.assert_allclose(
+        np.asarray(got["logits"])[..., :128], ref, atol=3e-4, rtol=3e-4
+    )

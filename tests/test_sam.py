@@ -212,3 +212,51 @@ def test_quant_roundtrip_exactness():
     np.testing.assert_allclose(
         np.asarray(quant.apply_linear(x, q)), np.asarray(x @ deq), atol=1e-3
     )
+
+
+def test_pallas_window_attention_matches_xla(tiny_pair):
+    """Fused rel-pos kernel (interpret mode) == XLA reference path."""
+    import dataclasses
+
+    _, cfg, params = tiny_pair
+    rng = np.random.default_rng(11)
+    img = jnp.asarray(rng.standard_normal((2, 64, 64, 3)), jnp.float32)
+
+    ref = encode_sam_image(params["image_encoder"], cfg.vision, img)
+    cfg_k = dataclasses.replace(cfg.vision, attn_kernel="pallas_interpret")
+    got = encode_sam_image(params["image_encoder"], cfg_k, img)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4, rtol=2e-4)
+
+
+def test_pallas_kernel_direct_parity_window14():
+    """Kernel-level parity at the production window size (14, hd 80)."""
+    from ullava_tpu.ops.sam_attention import (
+        decomposed_bias_terms,
+        fused_window_attention,
+    )
+    from ullava_tpu.models.sam.image_encoder import rel_pos_bias
+    from ullava_tpu.ops.attention import attention_xla
+
+    rng = np.random.default_rng(12)
+    B, H, W, hd = 1, 2, 14, 80
+    S = W * W
+    q = jnp.asarray(rng.standard_normal((B, S, H, hd)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, S, H, hd)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, S, H, hd)), jnp.float32)
+    Rh = jnp.asarray(0.1 * rng.standard_normal((2 * W - 1, hd)), jnp.float32)
+    Rw = jnp.asarray(0.1 * rng.standard_normal((2 * W - 1, hd)), jnp.float32)
+
+    q_grid = q.transpose(0, 2, 1, 3).reshape(B, H, W, W, hd)
+    bias = rel_pos_bias(q_grid, Rh, Rw, W)
+    ref = attention_xla(q, k, v, bias=bias, scale=hd**-0.5)
+
+    A, Bb = decomposed_bias_terms(q_grid, Rh, Rw, W)
+    N = B * H
+    got = fused_window_attention(
+        q.transpose(0, 2, 1, 3).reshape(N, S, hd),
+        k.transpose(0, 2, 1, 3).reshape(N, S, hd),
+        v.transpose(0, 2, 1, 3).reshape(N, S, hd),
+        A.reshape(N, S, W), Bb.reshape(N, S, W),
+        window=W, scale=hd**-0.5, interpret=True,
+    ).reshape(B, H, S, hd).transpose(0, 2, 1, 3)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4, rtol=2e-4)

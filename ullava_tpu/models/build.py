@@ -91,6 +91,24 @@ def _llama_cfg_from_hf(path: str, dtype) -> llama.LlamaConfig:
     )
 
 
+def _clip_cfg_from_hf(path: str, dtype) -> clip_vit.CLIPVisionConfig:
+    import json
+
+    with open(os.path.join(path, "config.json")) as f:
+        hf = json.load(f)
+    hf = hf.get("vision_config", hf)  # full CLIP vs vision-only checkpoints
+    return clip_vit.CLIPVisionConfig(
+        hidden_size=hf["hidden_size"],
+        intermediate_size=hf["intermediate_size"],
+        num_layers=hf["num_hidden_layers"],
+        num_heads=hf["num_attention_heads"],
+        image_size=hf.get("image_size", 224),
+        patch_size=hf.get("patch_size", 14),
+        layer_norm_eps=hf.get("layer_norm_eps", 1e-5),
+        dtype=dtype,
+    )
+
+
 def build_ullava_core(
     model_cfg, tokenizer, dtype=jnp.bfloat16, rng: Optional[jax.Array] = None
 ) -> Tuple[ullava_core.UllavaCoreConfig, Dict[str, Any]]:
@@ -108,7 +126,7 @@ def build_ullava_core(
         llm_params = llama.init_params(rng, llm_cfg)
 
     if vision_path and os.path.isdir(vision_path):
-        vis_cfg = clip_vit.CLIPVisionConfig(dtype=dtype)
+        vis_cfg = _clip_cfg_from_hf(vision_path, dtype)
         vis_params = convert_clip_vision(
             load_state_dict(vision_path), vis_cfg.num_layers, dtype
         )

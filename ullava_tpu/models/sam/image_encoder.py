@@ -27,6 +27,7 @@ import jax.numpy as jnp
 from ullava_tpu.ops.attention import attention_xla
 from ullava_tpu.ops.norms import layer_norm
 from ullava_tpu.ops.quant import apply_linear
+from ullava_tpu.ops.sam_attention import decomposed_bias_terms, fused_window_attention
 
 Params = Dict[str, Any]
 
@@ -45,6 +46,10 @@ class SamVisionConfig:
     use_rel_pos: bool = True
     layer_norm_eps: float = 1e-6
     dtype: Any = jnp.bfloat16
+    # Window-attention kernel: 'auto' uses the fused Pallas rel-pos kernel
+    # on TPU for window blocks (global blocks stay on XLA), 'xla' forces
+    # the reference path, 'pallas'/'pallas_interpret' force the kernel.
+    attn_kernel: str = "auto"
 
     @property
     def head_dim(self) -> int:
@@ -151,6 +156,20 @@ def rel_pos_bias(
     return bias.reshape(B, H, size * size, size * size)
 
 
+def _use_pallas(cfg: SamVisionConfig, size: int) -> bool:
+    if not cfg.use_rel_pos or size > 16:
+        return False  # global blocks: [S,S] scores exceed VMEM; XLA path
+    mode = cfg.attn_kernel
+    if mode in ("pallas", "pallas_interpret"):
+        return True
+    if mode == "auto":
+        try:
+            return jax.devices()[0].platform == "tpu"
+        except RuntimeError:
+            return False
+    return False
+
+
 def _attn(x: jax.Array, p: Params, cfg: SamVisionConfig, size: int) -> jax.Array:
     """Self-attention over an NHWC token grid [B, size, size, C]."""
     B = x.shape[0]
@@ -158,13 +177,34 @@ def _attn(x: jax.Array, p: Params, cfg: SamVisionConfig, size: int) -> jax.Array
     S = size * size
     qkv = (apply_linear(x.reshape(B, S, C), p["qkv"]) + p["qkv_bias"]).reshape(B, S, 3, H, hd)
     q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
-    bias = None
-    if cfg.use_rel_pos:
-        q_grid = q.transpose(0, 2, 1, 3).reshape(B, H, size, size, hd)
-        # Note: the reference applies rel-pos to scaled q then re-adds to
-        # scaled logits; equivalently we fold 1/sqrt(d) into the bias here.
-        bias = rel_pos_bias(q_grid, p["rel_pos_h"], p["rel_pos_w"], size)
-    out = attention_xla(q, k, v, bias=bias, scale=hd**-0.5)
+
+    if _use_pallas(cfg, size):
+        # Fused Pallas kernel: bias stays in its compact decomposed form
+        # (W x smaller than [S, S]); expansion happens in VMEM.
+        qh = q.transpose(0, 2, 1, 3)  # [B, H, S, hd]
+        kh = k.transpose(0, 2, 1, 3)
+        vh = v.transpose(0, 2, 1, 3)
+        q_grid = qh.reshape(B, H, size, size, hd)
+        A, Bb = decomposed_bias_terms(
+            q_grid, p["rel_pos_h"], p["rel_pos_w"], size
+        )
+        N = B * H
+        out = fused_window_attention(
+            qh.reshape(N, S, hd), kh.reshape(N, S, hd), vh.reshape(N, S, hd),
+            A.reshape(N, S, size).astype(qh.dtype),
+            Bb.reshape(N, S, size).astype(qh.dtype),
+            window=size, scale=hd**-0.5,
+            interpret=(cfg.attn_kernel == "pallas_interpret"),
+        )
+        out = out.reshape(B, H, S, hd).transpose(0, 2, 1, 3)
+    else:
+        bias = None
+        if cfg.use_rel_pos:
+            q_grid = q.transpose(0, 2, 1, 3).reshape(B, H, size, size, hd)
+            # The reference adds rel-pos to the scaled logits with UNSCALED
+            # q; attention_xla applies scale to qk only, matching that.
+            bias = rel_pos_bias(q_grid, p["rel_pos_h"], p["rel_pos_w"], size)
+        out = attention_xla(q, k, v, bias=bias, scale=hd**-0.5)
     out = apply_linear(out.reshape(B, S, C), p["proj"]) + p["proj_bias"]
     return out.reshape(B, size, size, C)
 

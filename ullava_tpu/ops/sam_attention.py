@@ -1,0 +1,108 @@
+"""Fused windowed attention with decomposed relative position bias.
+
+The SAM ViT encoder's hot op (SURVEY.md §7.5): windowed self-attention
+where scores get a decomposed rel-pos bias
+  bias[(i,j),(a,b)] = q[(i,j)] . Rh[i-a+W-1] + q[(i,j)] . Rw[j-b+W-1].
+
+The XLA path materializes the [S, S] bias per (window, head) in HBM
+(~61 MB per ViT-H layer per image). This kernel instead takes the bias in
+its compact decomposed form — A[(i,j), a] and Bb[(i,j), b], W x smaller —
+and expands it on the fly in VMEM with lane repeat/tile, fusing
+qk^T + bias + softmax + @v into one pass. Decode of the expansion:
+column t = a*W + b, so A broadcasts over b (consecutive repeat) and Bb
+tiles with period W.
+
+Forward-only (the SAM encoder is frozen in every training stage); the
+XLA path remains for CPU/tests and as the autodiff fallback.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _kernel(q_ref, k_ref, v_ref, a_ref, b_ref, o_ref, *, scale: float, window: int):
+    # Blocks: q/k/v [1, S, hd], a/b [1, S, W], o [1, S, hd]; S = window^2.
+    q = q_ref[0].astype(jnp.float32)
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+    A = a_ref[0].astype(jnp.float32)  # [S, W] (bias over row-blocks a)
+    Bb = b_ref[0].astype(jnp.float32)  # [S, W] (bias over cols b)
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale  # [S, S]
+
+    # bias[s, a*W + b] = A[s, a] + Bb[s, b]. Expand with one-hot matmuls
+    # (mosaic rejects merging non-lane-aligned minor dims in a reshape;
+    # a [W, S] one-hot contraction hits the MXU instead and the [S, S]
+    # bias never exists outside VMEM):
+    #   Eh[a, t] = [t // W == a]   ->  a_exp = A @ Eh
+    #   Ew[b, t] = [t %  W == b]   ->  b_exp = Bb @ Ew
+    S = q.shape[0]
+    col_t = jax.lax.broadcasted_iota(jnp.int32, (window, S), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (window, S), 0)
+    eh = (col_t // window == row).astype(jnp.float32)
+    ew = (col_t % window == row).astype(jnp.float32)
+    s = s + jax.lax.dot_general(
+        A, eh, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    s = s + jax.lax.dot_general(
+        Bb, ew, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    p = p / jnp.sum(p, axis=-1, keepdims=True)
+    o_ref[0] = jax.lax.dot_general(
+        p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ).astype(o_ref.dtype)
+
+
+def fused_window_attention(
+    q: jax.Array,  # [N, S, hd]  (N = batch*windows*heads flattened)
+    k: jax.Array,
+    v: jax.Array,
+    bias_a: jax.Array,  # [N, S, W]
+    bias_b: jax.Array,  # [N, S, W]
+    window: int,
+    scale: float,
+    interpret: bool = False,
+) -> jax.Array:
+    N, S, hd = q.shape
+    assert S == window * window
+    kernel = functools.partial(_kernel, scale=scale, window=window)
+    spec3 = lambda d: pl.BlockSpec((1, S, d), lambda n: (n, 0, 0),
+                                   memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(N,),
+        in_specs=[spec3(hd), spec3(hd), spec3(hd), spec3(window), spec3(window)],
+        out_specs=spec3(hd),
+        out_shape=jax.ShapeDtypeStruct((N, S, hd), q.dtype),
+        interpret=interpret,
+    )(q, k, v, bias_a, bias_b)
+
+
+def decomposed_bias_terms(
+    q_grid: jax.Array,  # [B, H, W, W, hd] (query positions on the grid)
+    rel_pos_h: jax.Array,  # [2W-1, hd]
+    rel_pos_w: jax.Array,
+    window: int,
+):
+    """Compact bias terms: A[b,h,(i,j),a] and Bb[b,h,(i,j),b]."""
+    coords = jnp.arange(window)
+    rel = coords[:, None] - coords[None, :] + (window - 1)  # [W, W]
+    RhG = rel_pos_h[rel]  # [i, a, hd]
+    RwG = rel_pos_w[rel]  # [j, b, hd]
+    qf = q_grid.astype(jnp.float32)
+    A = jnp.einsum("nhijc,iac->nhija", qf, RhG.astype(jnp.float32))
+    Bb = jnp.einsum("nhijc,jbc->nhijb", qf, RwG.astype(jnp.float32))
+    B, H = q_grid.shape[:2]
+    S = window * window
+    return A.reshape(B, H, S, window), Bb.reshape(B, H, S, window)
