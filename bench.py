@@ -283,7 +283,7 @@ def main():
         steps = int(os.environ.get("BENCH_STEPS", "3"))
         batches = (
             [int(os.environ["BENCH_BATCH"])]
-            if "BENCH_BATCH" in os.environ else [2, 1]
+            if "BENCH_BATCH" in os.environ else [16, 8, 4, 2, 1]
         )
         last_err = None
         for b in batches:

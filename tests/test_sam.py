@@ -260,3 +260,37 @@ def test_pallas_kernel_direct_parity_window14():
         window=W, scale=hd**-0.5, interpret=True,
     ).reshape(B, H, S, hd).transpose(0, 2, 1, 3)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4, rtol=2e-4)
+
+
+def test_pallas_global_attention_tiled_parity():
+    """Tiled flash variant with per-tile decomposed bias == XLA path."""
+    from ullava_tpu.ops.sam_attention import (
+        decomposed_bias_terms,
+        fused_global_attention,
+    )
+    from ullava_tpu.models.sam.image_encoder import rel_pos_bias
+    from ullava_tpu.ops.attention import attention_xla
+
+    rng = np.random.default_rng(13)
+    B, H, W, hd = 1, 2, 16, 64  # S = 256, tiles of 128 -> 2x2 k/q tiling
+    S = W * W
+    q = jnp.asarray(rng.standard_normal((B, S, H, hd)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, S, H, hd)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, S, H, hd)), jnp.float32)
+    Rh = jnp.asarray(0.1 * rng.standard_normal((2 * W - 1, hd)), jnp.float32)
+    Rw = jnp.asarray(0.1 * rng.standard_normal((2 * W - 1, hd)), jnp.float32)
+
+    q_grid = q.transpose(0, 2, 1, 3).reshape(B, H, W, W, hd)
+    bias = rel_pos_bias(q_grid, Rh, Rw, W)
+    ref = attention_xla(q, k, v, bias=bias, scale=hd**-0.5)
+
+    A, Bb = decomposed_bias_terms(q_grid, Rh, Rw, W)
+    N = B * H
+    got = fused_global_attention(
+        q.transpose(0, 2, 1, 3).reshape(N, S, hd),
+        k.transpose(0, 2, 1, 3).reshape(N, S, hd),
+        v.transpose(0, 2, 1, 3).reshape(N, S, hd),
+        A.reshape(N, S, W), Bb.reshape(N, S, W),
+        window=W, scale=hd**-0.5, block_q=128, block_k=128, interpret=True,
+    ).reshape(B, H, S, hd).transpose(0, 2, 1, 3)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=3e-4, rtol=3e-4)

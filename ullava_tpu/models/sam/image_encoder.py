@@ -27,7 +27,11 @@ import jax.numpy as jnp
 from ullava_tpu.ops.attention import attention_xla
 from ullava_tpu.ops.norms import layer_norm
 from ullava_tpu.ops.quant import apply_linear
-from ullava_tpu.ops.sam_attention import decomposed_bias_terms, fused_window_attention
+from ullava_tpu.ops.sam_attention import (
+    decomposed_bias_terms,
+    fused_global_attention,
+    fused_window_attention,
+)
 
 Params = Dict[str, Any]
 
@@ -157,8 +161,8 @@ def rel_pos_bias(
 
 
 def _use_pallas(cfg: SamVisionConfig, size: int) -> bool:
-    if not cfg.use_rel_pos or size > 16:
-        return False  # global blocks: [S,S] scores exceed VMEM; XLA path
+    if not cfg.use_rel_pos:
+        return False
     mode = cfg.attn_kernel
     if mode in ("pallas", "pallas_interpret"):
         return True
@@ -189,7 +193,11 @@ def _attn(x: jax.Array, p: Params, cfg: SamVisionConfig, size: int) -> jax.Array
             q_grid, p["rel_pos_h"], p["rel_pos_w"], size
         )
         N = B * H
-        out = fused_window_attention(
+        # Small windows run the single-block kernel; the global grid
+        # (S = 4096) runs the tiled flash variant (the XLA fallback would
+        # materialize [B, H, S, S] probs - 8.6 GB at batch 8).
+        fused = fused_window_attention if size <= 16 else fused_global_attention
+        out = fused(
             qh.reshape(N, S, hd), kh.reshape(N, S, hd), vh.reshape(N, S, hd),
             A.reshape(N, S, size).astype(qh.dtype),
             Bb.reshape(N, S, size).astype(qh.dtype),

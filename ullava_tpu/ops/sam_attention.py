@@ -89,6 +89,103 @@ def fused_window_attention(
     )(q, k, v, bias_a, bias_b)
 
 
+def _tiled_kernel(
+    q_ref, k_ref, v_ref, a_ref, b_ref, o_ref,
+    m_ref, l_ref, acc_ref,
+    *, scale: float, window: int, block_q: int, block_k: int,
+):
+    """Flash-style online-softmax attention with decomposed rel-pos bias
+    computed per k-tile (for the SAM global blocks: S = window^2 = 4096,
+    whose full [S, S] scores neither fit VMEM nor should touch HBM)."""
+    ik = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(ik == 0)
+    def _init():
+        m_ref[...] = jnp.full_like(m_ref, -1e30)
+        l_ref[...] = jnp.zeros_like(l_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[0].astype(jnp.float32)
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+    A = a_ref[0].astype(jnp.float32)  # [BQ, W]
+    Bb = b_ref[0].astype(jnp.float32)
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale  # [BQ, BK]
+
+    # Per-tile one-hot expansion of the decomposed bias: global k index
+    # t = ik*BK + col; row-block a = t // W, col b = t % W.
+    t = ik * block_k + jax.lax.broadcasted_iota(jnp.int32, (window, block_k), 1)
+    r = jax.lax.broadcasted_iota(jnp.int32, (window, block_k), 0)
+    eh = (t // window == r).astype(jnp.float32)
+    ew = (t % window == r).astype(jnp.float32)
+    s = s + jax.lax.dot_general(
+        A, eh, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    s = s + jax.lax.dot_general(
+        Bb, ew, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+    m_prev = m_ref[:, :1]
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+    p = jnp.exp(s - m_new)
+    alpha = jnp.exp(m_prev - m_new)
+    l_ref[...] = jnp.broadcast_to(
+        alpha * l_ref[:, :1] + jnp.sum(p, axis=-1, keepdims=True), l_ref.shape
+    )
+    acc_ref[...] = acc_ref[...] * alpha + jax.lax.dot_general(
+        p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    m_ref[...] = jnp.broadcast_to(m_new, m_ref.shape)
+
+    @pl.when(ik == nk - 1)
+    def _finalize():
+        o_ref[0] = (acc_ref[...] / l_ref[:, :1]).astype(o_ref.dtype)
+
+
+def fused_global_attention(
+    q: jax.Array,  # [N, S, hd], S = window^2 (e.g. 4096 for ViT-H)
+    k: jax.Array,
+    v: jax.Array,
+    bias_a: jax.Array,  # [N, S, W]
+    bias_b: jax.Array,
+    window: int,
+    scale: float,
+    block_q: int = 512,
+    block_k: int = 512,
+    interpret: bool = False,
+) -> jax.Array:
+    N, S, hd = q.shape
+    block_q = min(block_q, S)
+    block_k = min(block_k, S)
+    kernel = functools.partial(
+        _tiled_kernel, scale=scale, window=window,
+        block_q=block_q, block_k=block_k,
+    )
+    qspec = pl.BlockSpec((1, block_q, hd), lambda n, iq, ik: (n, iq, 0),
+                         memory_space=pltpu.VMEM)
+    kspec = pl.BlockSpec((1, block_k, hd), lambda n, iq, ik: (n, ik, 0),
+                         memory_space=pltpu.VMEM)
+    aspec = pl.BlockSpec((1, block_q, window), lambda n, iq, ik: (n, iq, 0),
+                         memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(N, pl.cdiv(S, block_q), pl.cdiv(S, block_k)),
+        in_specs=[qspec, kspec, kspec, aspec, aspec],
+        out_specs=qspec,
+        out_shape=jax.ShapeDtypeStruct((N, S, hd), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, hd), jnp.float32),
+        ],
+        interpret=interpret,
+    )(q, k, v, bias_a, bias_b)
+
+
 def decomposed_bias_terms(
     q_grid: jax.Array,  # [B, H, W, W, hd] (query positions on the grid)
     rel_pos_h: jax.Array,  # [2W-1, hd]
