@@ -76,3 +76,23 @@ def test_webui_chat_seg(image_file):
     assert set(out) == {"text", "masks", "boxes"}
     for m in out["masks"]:
         assert m.shape == (40, 56)
+
+
+def test_quantized_serving_build(image_file):
+    """model.quantize='int8' produces a servable quantized stack."""
+    from ullava_tpu.config import Config
+    from ullava_tpu.ops import quant
+    from webui.gradio_chat import Chat
+
+    cfg = Config(cfg_dict={
+        "model": {"arch": "ullava", "conv_type": "conv_sep2", "quantize": "int8"},
+        "task": {"type": "image_text_evaluate"},
+        "processor": {}, "training": {},
+    })
+    chat = Chat(cfg, tokenizer=_tok())
+    assert quant.is_quantized(chat.params["core"]["llm"]["layers"]["q_proj"])
+    assert quant.is_quantized(chat.params["sam"]["image_encoder"]["window_blocks"]["qkv"])
+    rng = np.random.default_rng(2)
+    out = chat.seg(rng.integers(0, 255, (32, 48, 3), np.uint8),
+                   "Segment .", temperature=0.0, max_new_tokens=4)
+    assert isinstance(out["text"], str)

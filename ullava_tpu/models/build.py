@@ -230,6 +230,25 @@ def build_ullava(
 
         params = restore_checkpoint(full_ckpt, params)
 
+    # Serving quantization: model.quantize: 'int8' | 'int8_towers' | none.
+    # 'int8' also quantizes the LLM (required to fit the full stack on a
+    # 16 GB chip; decode is bandwidth-bound so it is also faster);
+    # 'int8_towers' quantizes only the frozen SAM/CLIP encoders.
+    quant_mode = model_cfg.get("quantize")
+    if quant_mode in ("int8", "int8_towers"):
+        from ullava_tpu.ops import quant
+
+        params["sam"]["image_encoder"] = quant.quantize_tree(
+            params["sam"]["image_encoder"], quant.SAM_ENCODER_QUANT_KEYS
+        )
+        params["core"]["vision"] = quant.quantize_tree(
+            params["core"]["vision"], quant.CLIP_QUANT_KEYS
+        )
+        if quant_mode == "int8":
+            params["core"]["llm"] = quant.quantize_tree(
+                params["core"]["llm"], quant.LLAMA_QUANT_KEYS
+            )
+
     lora_r = int(model_cfg.get("lora_r", -1))
     if lora_r > 0:
         import dataclasses as dc
