@@ -277,8 +277,106 @@ def run_res(batch: int, steps: int, max_new_tokens: int = 32):
     return batch / dt
 
 
+def run_stage2(batch: int, steps: int, seq: int = 512):
+    """Stage-2 LoRA training step at reference scale on one chip:
+    SAM ViT-H encode (Pallas kernels) + CLIP + 7B LoRA fwd/bwd + mask
+    decoder + multi-task losses. (Full-finetune stage 2 needs the fsdp
+    axis — Adam moments for 7B exceed one chip — exactly like the
+    reference needed 8 GPUs.)"""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ullava_tpu.models import llama as llama_mod
+    from ullava_tpu.models import ullava
+    from ullava_tpu.training import optim
+    from ullava_tpu.training.train_step import (
+        jit_step, make_stage2_step, make_train_state,
+    )
+
+    cfg, params = build_res(batch)  # int8 frozen towers
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        cfg,
+        core=dataclasses.replace(
+            cfg.core,
+            llm=dataclasses.replace(cfg.core.llm, remat=True),
+        ),
+        mask_loss_frame=512,
+    )
+    # LoRA adapters on the (quantized) base weights: bf16 A/B, scale 2.0.
+    params["core"]["llm"] = llama_mod.add_lora(
+        params["core"]["llm"], cfg.core.llm, jax.random.PRNGKey(0), r=8
+    )
+
+    tx = optim.make_optimizer(2e-4)
+    patterns = (
+        r"^core/llm/layers/(q|v)_proj_lora_(a|b)$",
+        r"^seg_projector/", r"^det_projector/", r"^det_decoder/",
+        r"^sam/mask_decoder/(?!iou_head)",
+    )
+    state, labels = make_train_state(params, tx, patterns)
+    step = jit_step(make_stage2_step(cfg, tx, labels))
+
+    rng = np.random.default_rng(0)
+    P = cfg.core.vision.num_patches
+    F = cfg.mask_loss_frame
+    ids = rng.integers(5, 1000, size=(batch, seq)).astype(np.int32)
+    ids[:, 1] = cfg.core.img_start_id
+    ids[:, 2 : 2 + P] = 3
+    ids[:, 2 + P] = cfg.core.img_end_id
+    ids[:, 2 + P + 2] = cfg.seg_token_idx
+    ids[:, 2 + P + 4] = cfg.loc_token_idx
+    batch_data = {
+        "input_ids": jnp.asarray(ids),
+        "labels": jnp.asarray(ids),
+        "attn_lens": jnp.full((batch,), seq, jnp.int32),
+        "images": jnp.asarray(rng.standard_normal((batch, 224, 224, 3)).astype(np.float32)),
+        "images_sam": jnp.asarray(rng.standard_normal((batch, 1024, 1024, 3)).astype(np.float32)),
+        "gt_masks": jnp.asarray((rng.random((batch, 3, F, F)) > 0.5).astype(np.float32)),
+        "mask_valid": jnp.asarray(np.tile([True, False, False], (batch, 1))),
+        "gt_boxes": jnp.asarray(rng.random((batch, 3, 4)).astype(np.float32)),
+        "box_valid": jnp.asarray(np.tile([True, False, False], (batch, 1))),
+        "input_hw": jnp.full((batch, 2), 1024, jnp.int32),
+    }
+    state, metrics = step(state, batch_data)
+    jax.block_until_ready(metrics["loss"])
+    _ = float(metrics["loss"])
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        state, metrics = step(state, batch_data)
+    jax.block_until_ready(metrics["loss"])
+    _ = float(metrics["loss"])
+    dt = (time.perf_counter() - t0) / steps
+    return batch / dt
+
+
 def main():
     preset = os.environ.get("BENCH_PRESET", "7b")
+    if preset == "stage2":
+        steps = int(os.environ.get("BENCH_STEPS", "3"))
+        batches = (
+            [int(os.environ["BENCH_BATCH"])]
+            if "BENCH_BATCH" in os.environ else [4, 2, 1]
+        )
+        last_err = None
+        for b in batches:
+            try:
+                ips = run_stage2(b, steps)
+                print(json.dumps({
+                    "metric": (
+                        "stage2 LoRA train step (SAM ViT-H Pallas encode + "
+                        f"CLIP + 7B LoRA fwd/bwd + mask decode + losses, bsz {b})"
+                    ),
+                    "value": round(ips, 3),
+                    "unit": "images/sec/chip",
+                    "vs_baseline": round(ips / A100_BASELINE, 3),
+                }))
+                return
+            except Exception as e:
+                last_err = e
+        raise SystemExit(f"stage2 bench failed: {last_err}")
     if preset == "res":
         steps = int(os.environ.get("BENCH_STEPS", "3"))
         batches = (

@@ -262,15 +262,22 @@ def add_lora(
 ) -> Params:
     """Attach zero-initialized LoRA adapters (A gaussian, B zeros) to the
     stacked layer weights; forward picks them up by key presence."""
+    from ullava_tpu.ops.quant import is_quantized
+
     layers = dict(params["layers"])
     for i, name in enumerate(targets):
-        w = layers[name]  # [L, in, out]
-        L, din, dout = w.shape
+        w = layers[name]  # [L, in, out] (possibly int8-quantized base)
+        if is_quantized(w):
+            L, din, dout = w["q"].shape
+            dtype = cfg.dtype
+        else:
+            L, din, dout = w.shape
+            dtype = w.dtype
         key = jax.random.fold_in(rng, i)
         layers[f"{name}_lora_a"] = (
             jax.random.normal(key, (L, din, r), jnp.float32) / (din**0.5)
-        ).astype(w.dtype)
-        layers[f"{name}_lora_b"] = jnp.zeros((L, r, dout), w.dtype)
+        ).astype(dtype)
+        layers[f"{name}_lora_b"] = jnp.zeros((L, r, dout), dtype)
     return {**params, "layers": layers}
 
 

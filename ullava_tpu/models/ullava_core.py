@@ -170,6 +170,10 @@ def chunked_cross_entropy(
     ~0.5 GB at 7B scale per (8, 384) batch, buying a larger per-chip
     batch than the reference's full-logit path allows.
     """
+    from ullava_tpu.ops.quant import dequantize, is_quantized
+
+    if is_quantized(lm_head):
+        lm_head = dequantize(lm_head, hidden.dtype)
     B, S, D = hidden.shape
     V = lm_head.shape[1]
     h = hidden[:, :-1]  # predict token t+1 from hidden t
