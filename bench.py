@@ -48,7 +48,8 @@ def build(preset: str):
         remat_policy = os.environ.get("BENCH_REMAT", "full")
         cfg = ullava_core.UllavaCoreConfig(
             llm=llama.LlamaConfig(dtype=jnp.bfloat16, remat=True,
-                                  remat_policy=remat_policy),
+                                  remat_policy=remat_policy,
+                                  attn_impl=os.environ.get("BENCH_ATTN", "auto")),
             vision=clip_vit.CLIPVisionConfig(dtype=jnp.bfloat16),
             vision_hidden_layer=-2,
             img_start_id=32001,

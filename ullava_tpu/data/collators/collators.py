@@ -37,17 +37,25 @@ def resample_mask_to_frame(
     mask: np.ndarray, raw_hw, frame: int, sam_size: int = SAM_IMAGE_SIZE
 ) -> np.ndarray:
     """Original-resolution binary mask -> SAM padded frame at `frame` res
-    (same geometry as the image path: resize longest side, pad bottom/right)."""
+    (same geometry as the image path: resize longest side, pad bottom/right).
+    Uses the native C++ nearest-resize when built."""
+    from ullava_tpu.data.tools import native
+
     h, w = raw_hw
     nh, nw = get_preprocess_shape(h, w, sam_size)
-    pil = Image.fromarray((mask > 0).astype(np.uint8))
-    resized = np.asarray(pil.resize((nw, nh), Image.NEAREST))
+    binary = (mask > 0).astype(np.uint8)
+    resized = native.resize_nearest(binary, nh, nw)
+    if resized is None:
+        resized = np.asarray(Image.fromarray(binary).resize((nw, nh), Image.NEAREST))
     canvas = np.zeros((sam_size, sam_size), np.uint8)
     canvas[:nh, :nw] = resized
     if frame != sam_size:
-        canvas = np.asarray(
-            Image.fromarray(canvas).resize((frame, frame), Image.NEAREST)
-        )
+        down = native.resize_nearest(canvas, frame, frame)
+        if down is None:
+            down = np.asarray(
+                Image.fromarray(canvas).resize((frame, frame), Image.NEAREST)
+            )
+        canvas = down
     return canvas.astype(np.float32)
 
 

@@ -298,7 +298,10 @@ def attention(
         and h == hkv
     )
     if impl == "auto":
-        impl = "flash" if (flash_ok and _on_tpu()) else "xla"
+        # Measured crossover on v5e (7B train step): XLA's fused full-score
+        # attention wins at seq 384 (9.32 vs 8.76 img/s); the flash kernel
+        # wins at seq 1024 (2.79 vs 2.70). Dispatch flash from 512 up.
+        impl = "flash" if (flash_ok and sq >= 512 and _on_tpu()) else "xla"
     if impl == "flash" and not flash_ok:
         raise ValueError(
             "flash attention requires no bias, Sq>=128, head_dim%128==0, "
