@@ -33,49 +33,70 @@ def build_prompt(conv_type: str, query: str, image_token_len: int):
     return conv
 
 
+class CoreChat:
+    """Stage-1 chat session: the model loads ONCE; each query re-runs
+    only prompt build + generate (a per-query 7B rebuild would dominate
+    the REPL)."""
+
+    def __init__(self, cfg, tokenizer=None):
+        from ullava_tpu.data.processors import CLIPProcessor
+        from ullava_tpu.models import build as model_build
+
+        model_cfg = cfg.model_cfg
+        self.tokenizer = tokenizer or model_build.build_tokenizer(
+            model_cfg.get("llm_path")
+        )
+        self.core_cfg, self.params = model_build.build_ullava_core(
+            model_cfg, self.tokenizer
+        )
+        self.conv_type = model_cfg.get("conv_type", "conv_simple")
+        self.proc = CLIPProcessor(
+            image_size=self.core_cfg.vision.image_size, aspect_ratio="pad"
+        )
+
+    def ask(self, image_path, query, temperature=0.2, top_p=None,
+            max_new_tokens=128):
+        import jax.numpy as jnp
+        import numpy as np
+        from PIL import Image
+
+        from ullava_tpu.models import generate as gen_mod
+        from ullava_tpu.models.tools import keyword_stop_ids
+
+        conv = build_prompt(
+            self.conv_type, query, self.core_cfg.vision.num_patches
+        )
+        prompt = conv.get_prompt()
+        ids = np.asarray(self.tokenizer(prompt)["input_ids"], np.int32)
+        image = self.proc(Image.open(image_path).convert("RGB"))
+
+        stops = keyword_stop_ids(self.tokenizer, [conv.sep2 or conv.sep])
+        gen = gen_mod.GenerateConfig(
+            max_new_tokens=max_new_tokens, temperature=temperature, top_p=top_p,
+            stop_token_ids=stops,
+        )
+        out = gen_mod.generate(
+            self.params, self.core_cfg, gen,
+            input_ids=jnp.asarray(ids[None]),
+            prompt_lens=jnp.asarray([len(ids)], np.int32),
+            images=jnp.asarray(image[None]),
+        )
+        T = int(out["lengths"][0])
+        answer_ids = np.asarray(out["sequences"][0, len(ids):T])
+        text = self.tokenizer.decode(answer_ids, skip_special_tokens=True).strip()
+        for stop_str in ("###", conv.sep2 or ""):
+            if stop_str and text.endswith(stop_str):
+                text = text[: -len(stop_str)].strip()
+        return text
+
+
 def eval_model(cfg, image_path, query, temperature=0.2, top_p=None,
                max_new_tokens=128, tokenizer=None):
-    import jax.numpy as jnp
-    import numpy as np
-    from PIL import Image
-
-    from ullava_tpu.models import build as model_build
-    from ullava_tpu.models import generate as gen_mod
-    from ullava_tpu.models.tools import keyword_stop_ids
-    from ullava_tpu.data.processors import CLIPProcessor
-
-    model_cfg = cfg.model_cfg
-    if tokenizer is None:
-        tokenizer = model_build.build_tokenizer(model_cfg.get("llm_path"))
-    core_cfg, params = model_build.build_ullava_core(model_cfg, tokenizer)
-
-    conv_type = model_cfg.get("conv_type", "conv_simple")
-    image_token_len = core_cfg.vision.num_patches
-    conv = build_prompt(conv_type, query, image_token_len)
-    prompt = conv.get_prompt()
-
-    ids = np.asarray(tokenizer(prompt)["input_ids"], np.int32)
-    proc = CLIPProcessor(image_size=core_cfg.vision.image_size, aspect_ratio="pad")
-    image = proc(Image.open(image_path).convert("RGB"))
-
-    stops = keyword_stop_ids(tokenizer, [conv.sep2 or conv.sep])
-    gen = gen_mod.GenerateConfig(
-        max_new_tokens=max_new_tokens, temperature=temperature, top_p=top_p,
-        stop_token_ids=stops,
+    """One-shot convenience wrapper (builds the model; use CoreChat for
+    multi-turn sessions)."""
+    return CoreChat(cfg, tokenizer=tokenizer).ask(
+        image_path, query, temperature, top_p, max_new_tokens
     )
-    out = gen_mod.generate(
-        params, core_cfg, gen,
-        input_ids=jnp.asarray(ids[None]),
-        prompt_lens=jnp.asarray([len(ids)], np.int32),
-        images=jnp.asarray(image[None]),
-    )
-    T = int(out["lengths"][0])
-    answer_ids = np.asarray(out["sequences"][0, len(ids):T])
-    text = tokenizer.decode(answer_ids, skip_special_tokens=True).strip()
-    for stop_str in ("###", conv.sep2 or ""):
-        if stop_str and text.endswith(stop_str):
-            text = text[: -len(stop_str)].strip()
-    return text
 
 
 if __name__ == "__main__":
@@ -92,9 +113,10 @@ if __name__ == "__main__":
     import ullava_tpu.models.build  # noqa: F401
 
     cfg = Config(args.cfg_path)
+    chat = CoreChat(cfg)
     if args.query:
-        print(eval_model(cfg, args.image, args.query, args.temperature,
-                         args.top_p, args.max_new_tokens))
+        print(chat.ask(args.image, args.query, args.temperature,
+                       args.top_p, args.max_new_tokens))
     else:
         while True:
             try:
@@ -103,6 +125,5 @@ if __name__ == "__main__":
                 break
             if not query or query in ("exit", "quit"):
                 break
-            print("ASSISTANT:", eval_model(cfg, args.image, query,
-                                           args.temperature, args.top_p,
-                                           args.max_new_tokens))
+            print("ASSISTANT:", chat.ask(args.image, query, args.temperature,
+                                         args.top_p, args.max_new_tokens))

@@ -68,6 +68,26 @@ class Ade20kBuilder(TemplateBuilder):
 class CocoStuffBuilder(TemplateBuilder):
     dataset_cls = CocoStuffDataset
 
+    def build(self, processor_cfg=None):
+        cfg = self.config
+        build_info = cfg.get("build_info", {})
+        vis_processor = self.fetch_processor(cfg.get("vis_processor"), processor_cfg)
+        return self.dataset_cls(
+            vis_processor=vis_processor,
+            tokenizer=self.tokenizer,
+            vis_root=build_info.get("image_dir", ""),
+            ann_root=build_info.get("anno_dir", ""),
+            template_root=build_info.get("template_root", ""),
+            portion=float(build_info.get("portion", 1.0)),
+            image_token_len=int(cfg.get("image_token_len", 256)),
+            data_type=cfg.get("data_type", "image"),
+            conv_type=self.conv_type,
+            sam_size=int(cfg.get("sam_image_size", 1024)),
+            # the '-'-class drop list (COCO-Stuff labels.txt, external
+            # dataset metadata — see templates/README.md)
+            class_file=build_info.get("class_file"),
+        )
+
 
 class PacoBuilder(TemplateBuilder):
     dataset_cls = PacoDataset
