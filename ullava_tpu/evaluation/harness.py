@@ -32,8 +32,13 @@ def validate(
     collator,
     forward_fn: Optional[Callable] = None,
     max_samples: Optional[int] = None,
+    batch_size: int = 8,
 ) -> Dict[str, float]:
-    """bs=1 teacher-forced eval over one dataset."""
+    """Teacher-forced eval over one dataset.
+
+    Unlike the reference's bs=1 DataLoader (`eval_ullava.py:41-48`),
+    samples batch on device (fixed shapes make this free); the exact
+    per-sample original-resolution postprocess stays host-side."""
     if forward_fn is None:
         forward_fn = jax.jit(
             lambda p, b: ullava.forward(p, cfg, **b, labels=None, inference=True)
@@ -45,9 +50,13 @@ def validate(
     prec_m = AverageMeter("Prec@0.5", ":6.3f", Summary.SUM)
 
     n = len(dataset) if max_samples is None else min(len(dataset), max_samples)
-    for i in range(n):
-        sample = dataset[i]
-        batch = collator([sample])
+    for start in range(0, n, batch_size):
+        idxs = list(range(start, min(start + batch_size, n)))
+        samples = [dataset[i] for i in idxs]
+        # Pad the trailing batch to keep one compiled shape.
+        while len(samples) < batch_size:
+            samples.append(samples[-1])
+        batch = collator(samples)
         model_batch = {
             k: batch[k]
             for k in ("input_ids", "attn_lens", "images", "images_sam")
@@ -55,36 +64,39 @@ def validate(
         }
         out = forward_fn(params, model_batch)
 
-        seg_valid = np.asarray(out["seg_valid"][0])
-        low_res = np.asarray(out["low_res_masks"][0])  # [M, h, w]
-        gt_masks = np.asarray(sample["seg_mask"])  # [K, H, W] original res
-        raw = tuple(int(x) for x in sample["raw_size"])
-        resize = tuple(int(x) for x in sample["resize"])
+        seg_valid_b = np.asarray(out["seg_valid"])
+        low_res_b = np.asarray(out["low_res_masks"])
+        loc_valid_b = np.asarray(out["loc_valid"])
+        pred_boxes_b = np.asarray(out["pred_boxes"])
 
-        k = min(int(seg_valid.sum()), len(gt_masks))
-        if k > 0:
-            pred = postprocess_masks_host(
-                low_res[:k], input_size=resize, original_size=raw,
-                img_size=cfg.sam.vision.img_size,
-            )
-            pred_bin = (pred > 0).astype(np.int32)
-            for j in range(k):
-                inter, union, _ = intersection_and_union(
-                    pred_bin[j], (gt_masks[j] > 0).astype(np.int32), 2, 255
+        for bi, i in enumerate(idxs):
+            sample = samples[bi]
+            gt_masks = np.asarray(sample["seg_mask"])  # [K, H, W] original res
+            raw = tuple(int(x) for x in sample["raw_size"])
+            resize = tuple(int(x) for x in sample["resize"])
+
+            k = min(int(seg_valid_b[bi].sum()), len(gt_masks))
+            if k > 0:
+                pred = postprocess_masks_host(
+                    low_res_b[bi, :k], input_size=resize, original_size=raw,
+                    img_size=cfg.sam.vision.img_size,
                 )
-                inter_m.update(inter[1])
-                union_m.update(union[1])
-                acc_iou = inter / np.maximum(union, 1e-5)
-                acc_iou[union == 0] = 1.0  # empty-empty counts as full IoU
-                giou_m.update(acc_iou[1], n=1)
+                pred_bin = (pred > 0).astype(np.int32)
+                for j in range(k):
+                    inter, union, _ = intersection_and_union(
+                        pred_bin[j], (gt_masks[j] > 0).astype(np.int32), 2, 255
+                    )
+                    inter_m.update(inter[1])
+                    union_m.update(union[1])
+                    acc_iou = inter / np.maximum(union, 1e-5)
+                    acc_iou[union == 0] = 1.0  # empty-empty = full IoU
+                    giou_m.update(acc_iou[1], n=1)
 
-        loc_valid = np.asarray(out["loc_valid"][0])
-        pred_boxes = np.asarray(out["pred_boxes"][0])
-        gt_boxes = np.asarray(sample.get("boxes", np.zeros((0, 4))))
-        kb = min(int(loc_valid.sum()), len(gt_boxes))
-        for j in range(kb):
-            iou = bbox_iou(pred_boxes[j], gt_boxes[j])
-            prec_m.update(float(iou > 0.5), n=1)
+            gt_boxes = np.asarray(sample.get("boxes", np.zeros((0, 4))))
+            kb = min(int(loc_valid_b[bi].sum()), len(gt_boxes))
+            for j in range(kb):
+                iou = bbox_iou(pred_boxes_b[bi, j], gt_boxes[j])
+                prec_m.update(float(iou > 0.5), n=1)
 
     ciou = inter_m.sum / max(union_m.sum, 1e-10)
     return {
