@@ -136,3 +136,26 @@ def test_attention_rejects_bad_flash_shapes():
     q = jnp.zeros((1, 8, 2, 64))
     with pytest.raises(ValueError):
         attention(q, q, q, impl="flash")
+
+
+@pytest.mark.parametrize("lens", [None, (200, 77)])
+def test_flash_bwd_kernels_match_xla_grads(lens):
+    """The fused Pallas backward (dq/dkv kernels) reproduces XLA grads
+    under causal + ragged KV masking."""
+    rng = np.random.default_rng(3)
+    B, S, H, D = 2, 256, 2, 128
+    q = jnp.asarray(rng.standard_normal((B, S, H, D)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, S, H, D)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, S, H, D)), jnp.float32)
+    kv_lens = None if lens is None else jnp.asarray(lens, jnp.int32)
+
+    def loss(impl):
+        def f(q, k, v):
+            out = attention(q, k, v, causal=True, kv_lens=kv_lens, impl=impl)
+            return (out.astype(jnp.float32) ** 2).sum()
+        return f
+
+    g1 = jax.grad(loss("flash_interpret"), argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(loss("xla"), argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-3, rtol=1e-3)

@@ -209,3 +209,28 @@ def test_tp_sharded_generation_matches_single_device():
         np.asarray(out["sequences"]), np.asarray(ref["sequences"])
     )
     np.testing.assert_array_equal(np.asarray(out["lengths"]), np.asarray(ref["lengths"]))
+
+
+def test_training_determinism():
+    """Same seed + same data -> bitwise-identical loss trajectories
+    (SURVEY §5.2: determinism is the TPU answer to race detection)."""
+    cfg = ullava_core.UllavaCoreConfig.tiny()
+
+    def run():
+        params = {"core": ullava_core.init_params(jax.random.PRNGKey(0), cfg)}
+        tx = optim.make_optimizer(1e-2)
+        state, labels = make_train_state(params, tx, optim.STAGE1_FINETUNE)
+        step = jit_step(make_stage1_step(cfg, tx, labels))
+        rng = np.random.default_rng(0)
+        ids = rng.integers(5, 100, size=(2, 12)).astype(np.int32)
+        batch = {
+            "input_ids": jnp.asarray(ids), "labels": jnp.asarray(ids),
+            "attn_lens": jnp.full((2,), 12, jnp.int32),
+        }
+        losses = []
+        for _ in range(3):
+            state, m = step(state, batch)
+            losses.append(float(m["loss"]))
+        return losses
+
+    assert run() == run()

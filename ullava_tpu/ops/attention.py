@@ -2,10 +2,12 @@
 
 The flash kernel implements online-softmax tiling (never materializes the
 [Sq, Sk] score matrix in HBM), with causal block skipping and per-batch
-KV-length masking for padded batches. Backward runs through a
-recompute-based custom VJP over the XLA path — numerically identical
-gradients, flash-speed forward. (A fused Pallas backward is a later
-optimization; the interface will not change.)
+KV-length masking for padded batches. The backward is fused too: dq/dkv
+Pallas kernels recompute probability tiles from the saved logsumexp, so
+neither direction touches [Sq, Sk] in HBM. Measured on v5e (7B train
+step, seq 1024): 3.09 img/s vs 2.79 (flash fwd + XLA-recompute bwd) vs
+2.70 (pure XLA); XLA still wins at seq 384, hence the 512 dispatch
+crossover in `attention`.
 
 Replaces the torch SDPA/eager attention used throughout the reference's
 towers (LLaMA decoder, CLIP ViT, SAM encoder/two-way transformer).
@@ -88,6 +90,7 @@ def _flash_kernel(
     v_ref,  # [1, 1, BK, D]
     # outputs
     o_ref,  # [1, 1, BQ, D]
+    lse_ref,  # [1, 1, BQ, 8] f32 logsumexp per q row (lane-bcast)
     # scratch
     m_ref,  # [BQ, 128] f32 running max
     l_ref,  # [BQ, 128] f32 running denom
@@ -157,8 +160,12 @@ def _flash_kernel(
     @pl.when(ik == nk - 1)
     def _finalize():
         l = l_ref[:, :1]
-        l = jnp.where(l == 0.0, 1.0, l)  # fully-masked q rows -> zeros
-        o_ref[0, 0, ...] = (acc_ref[...] / l).astype(o_ref.dtype)
+        safe_l = jnp.where(l == 0.0, 1.0, l)  # fully-masked q rows -> zeros
+        o_ref[0, 0, ...] = (acc_ref[...] / safe_l).astype(o_ref.dtype)
+        # logsumexp per q row for the fused backward; +big for fully-masked
+        # rows so their recomputed probabilities are exactly zero.
+        lse = jnp.where(l == 0.0, 1e30, m_ref[:, :1] + jnp.log(safe_l))
+        lse_ref[0, 0, ...] = jnp.broadcast_to(lse, lse_ref.shape[2:])
 
 
 def flash_attention_fwd(
@@ -203,8 +210,13 @@ def flash_attention_fwd(
                 (1, 1, block_k, d), lambda b, h, iq, ik, *_: (b, h, ik, 0)
             ),
         ],
-        out_specs=pl.BlockSpec(
-            (1, 1, block_q, d), lambda b, h, iq, ik, *_: (b, h, iq, 0)
+        out_specs=(
+            pl.BlockSpec(
+                (1, 1, block_q, d), lambda b, h, iq, ik, *_: (b, h, iq, 0)
+            ),
+            pl.BlockSpec(
+                (1, 1, block_q, 8), lambda b, h, iq, ik, *_: (b, h, iq, 0)
+            ),
         ),
         scratch_shapes=[
             pltpu.VMEM((block_q, 128), jnp.float32),
@@ -215,13 +227,215 @@ def flash_attention_fwd(
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b, h, sq, d), q.dtype),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, h, sq, d), q.dtype),
+            # lse broadcast over 8 lanes: pallas blocks need tile-compliant
+            # trailing dims ((8,128)-divisible or full)
+            jax.ShapeDtypeStruct((b, h, sq, 8), jnp.float32),
+        ),
         interpret=interpret,
     )(kv_lens.astype(jnp.int32), q, k, v)
 
 
 # ---------------------------------------------------------------------------
-# Public entry with custom VJP (flash fwd, recompute XLA bwd)
+# Pallas flash backward (dq / dkv kernels, tiled probability recompute)
+# ---------------------------------------------------------------------------
+
+
+def _bwd_mask_and_p(q, k, lse, kv_len, q_start, k_start, block_q, block_k,
+                    causal, scale):
+    """Recompute the probability tile p = exp(s*scale - lse) with the
+    forward's exact masking."""
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale  # [BQ, BK]
+    k_pos = k_start + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+    mask = k_pos < kv_len
+    if causal:
+        q_pos = q_start + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
+        mask = jnp.logical_and(mask, k_pos <= q_pos)
+    p = jnp.exp(jnp.where(mask, s, _NEG_INF) - lse)
+    return jnp.where(mask, p, 0.0)
+
+
+def _flash_bwd_dkv_kernel(
+    kv_lens_ref,
+    q_ref, do_ref, lse_ref, delta_ref, k_ref, v_ref,
+    dk_ref, dv_ref,
+    dk_acc, dv_acc,
+    *, causal, scale, block_q, block_k, q_offset,
+):
+    b = pl.program_id(0)
+    ik = pl.program_id(2)
+    iq = pl.program_id(3)
+    nq = pl.num_programs(3)
+
+    @pl.when(iq == 0)
+    def _init():
+        dk_acc[...] = jnp.zeros_like(dk_acc)
+        dv_acc[...] = jnp.zeros_like(dv_acc)
+
+    kv_len = kv_lens_ref[b]
+    q_start = q_offset + iq * block_q
+    k_start = ik * block_k
+    run = jnp.asarray(k_start) < kv_len
+    if causal:
+        # q blocks entirely before this k block contribute nothing.
+        run = jnp.logical_and(run, q_start + block_q - 1 >= k_start)
+
+    @pl.when(run)
+    def _compute():
+        q = q_ref[0, 0].astype(jnp.float32)
+        do = do_ref[0, 0].astype(jnp.float32)
+        k = k_ref[0, 0].astype(jnp.float32)
+        v = v_ref[0, 0].astype(jnp.float32)
+        lse = lse_ref[0, 0][:, :1]  # [BQ, 1]
+        delta = delta_ref[0, 0][:, :1]
+
+        p = _bwd_mask_and_p(q, k, lse, kv_len, q_start, k_start,
+                            block_q, block_k, causal, scale)
+        # dv += p^T @ dO
+        dv_acc[...] += jax.lax.dot_general(
+            p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        # ds = p * (dO @ v^T - delta) * scale; dk += ds^T @ q
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        ds = p * (dp - delta) * scale
+        dk_acc[...] += jax.lax.dot_general(
+            ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+
+    @pl.when(iq == nq - 1)
+    def _finalize():
+        dk_ref[0, 0, ...] = dk_acc[...].astype(dk_ref.dtype)
+        dv_ref[0, 0, ...] = dv_acc[...].astype(dv_ref.dtype)
+
+
+def _flash_bwd_dq_kernel(
+    kv_lens_ref,
+    q_ref, do_ref, lse_ref, delta_ref, k_ref, v_ref,
+    dq_ref,
+    dq_acc,
+    *, causal, scale, block_q, block_k, q_offset,
+):
+    b = pl.program_id(0)
+    iq = pl.program_id(2)
+    ik = pl.program_id(3)
+    nk = pl.num_programs(3)
+
+    @pl.when(ik == 0)
+    def _init():
+        dq_acc[...] = jnp.zeros_like(dq_acc)
+
+    kv_len = kv_lens_ref[b]
+    q_start = q_offset + iq * block_q
+    k_start = ik * block_k
+    run = jnp.asarray(k_start) < kv_len
+    if causal:
+        run = jnp.logical_and(run, k_start <= q_start + block_q - 1)
+
+    @pl.when(run)
+    def _compute():
+        q = q_ref[0, 0].astype(jnp.float32)
+        do = do_ref[0, 0].astype(jnp.float32)
+        k = k_ref[0, 0].astype(jnp.float32)
+        v = v_ref[0, 0].astype(jnp.float32)
+        lse = lse_ref[0, 0][:, :1]
+        delta = delta_ref[0, 0][:, :1]
+
+        p = _bwd_mask_and_p(q, k, lse, kv_len, q_start, k_start,
+                            block_q, block_k, causal, scale)
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        ds = p * (dp - delta) * scale
+        dq_acc[...] += jax.lax.dot_general(
+            ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+
+    @pl.when(ik == nk - 1)
+    def _finalize():
+        dq_ref[0, 0, ...] = dq_acc[...].astype(dq_ref.dtype)
+
+
+def flash_attention_bwd(
+    q, k, v, out, lse, do, kv_lens,
+    *, causal, scale, q_offset=0, block_q=256, block_k=512, interpret=False,
+):
+    """[B, H, S, D] layouts; returns (dq, dk, dv)."""
+    b, h, sq, d = q.shape
+    sk = k.shape[2]
+    block_q = min(block_q, sq)
+    block_k = min(block_k, sk)
+
+    # delta_i = rowsum(dO_i * O_i) — cheap elementwise, XLA fuses it.
+    delta = jnp.einsum(
+        "bhqd,bhqd->bhq", do.astype(jnp.float32), out.astype(jnp.float32)
+    )
+    delta = jnp.broadcast_to(delta[..., None], delta.shape + (8,))
+
+    # dkv pass: grid (B, H, nK, nQ), q innermost.
+    common = dict(causal=causal, scale=scale, block_q=block_q,
+                  block_k=block_k, q_offset=int(q_offset))
+    dkv_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, h, pl.cdiv(sk, block_k), pl.cdiv(sq, block_q)),
+        in_specs=[
+            pl.BlockSpec((1, 1, block_q, d), lambda b, h, ik, iq, *_: (b, h, iq, 0)),
+            pl.BlockSpec((1, 1, block_q, d), lambda b, h, ik, iq, *_: (b, h, iq, 0)),
+            pl.BlockSpec((1, 1, block_q, 8), lambda b, h, ik, iq, *_: (b, h, iq, 0)),
+            pl.BlockSpec((1, 1, block_q, 8), lambda b, h, ik, iq, *_: (b, h, iq, 0)),
+            pl.BlockSpec((1, 1, block_k, d), lambda b, h, ik, iq, *_: (b, h, ik, 0)),
+            pl.BlockSpec((1, 1, block_k, d), lambda b, h, ik, iq, *_: (b, h, ik, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1, block_k, d), lambda b, h, ik, iq, *_: (b, h, ik, 0)),
+            pl.BlockSpec((1, 1, block_k, d), lambda b, h, ik, iq, *_: (b, h, ik, 0)),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((block_k, d), jnp.float32),
+            pltpu.VMEM((block_k, d), jnp.float32),
+        ],
+    )
+    dk, dv = pl.pallas_call(
+        functools.partial(_flash_bwd_dkv_kernel, **common),
+        grid_spec=dkv_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((b, h, sk, d), q.dtype),
+            jax.ShapeDtypeStruct((b, h, sk, d), q.dtype),
+        ),
+        interpret=interpret,
+    )(kv_lens.astype(jnp.int32), q, do, lse, delta, k, v)
+
+    dq_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, h, pl.cdiv(sq, block_q), pl.cdiv(sk, block_k)),
+        in_specs=[
+            pl.BlockSpec((1, 1, block_q, d), lambda b, h, iq, ik, *_: (b, h, iq, 0)),
+            pl.BlockSpec((1, 1, block_q, d), lambda b, h, iq, ik, *_: (b, h, iq, 0)),
+            pl.BlockSpec((1, 1, block_q, 8), lambda b, h, iq, ik, *_: (b, h, iq, 0)),
+            pl.BlockSpec((1, 1, block_q, 8), lambda b, h, iq, ik, *_: (b, h, iq, 0)),
+            pl.BlockSpec((1, 1, block_k, d), lambda b, h, iq, ik, *_: (b, h, ik, 0)),
+            pl.BlockSpec((1, 1, block_k, d), lambda b, h, iq, ik, *_: (b, h, ik, 0)),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, block_q, d), lambda b, h, iq, ik, *_: (b, h, iq, 0)
+        ),
+        scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
+    )
+    dq = pl.pallas_call(
+        functools.partial(_flash_bwd_dq_kernel, **common),
+        grid_spec=dq_spec,
+        out_shape=jax.ShapeDtypeStruct((b, h, sq, d), q.dtype),
+        interpret=interpret,
+    )(kv_lens.astype(jnp.int32), q, do, lse, delta, k, v)
+    return dq, dk, dv
+
+
+# ---------------------------------------------------------------------------
+# Public entry with custom VJP (flash fwd, flash bwd)
 # ---------------------------------------------------------------------------
 
 
@@ -231,7 +445,7 @@ def _flash_attention(q, k, v, kv_lens, q_offset, causal, scale, interpret):
     qt = q.transpose(0, 2, 1, 3)
     kt = k.transpose(0, 2, 1, 3)
     vt = v.transpose(0, 2, 1, 3)
-    out = flash_attention_fwd(
+    out, _ = flash_attention_fwd(
         qt, kt, vt, kv_lens, causal=causal, scale=scale,
         q_offset=int(q_offset), interpret=interpret,
     )
@@ -239,22 +453,28 @@ def _flash_attention(q, k, v, kv_lens, q_offset, causal, scale, interpret):
 
 
 def _flash_fwd_rule(q, k, v, kv_lens, q_offset, causal, scale, interpret):
-    out = _flash_attention(q, k, v, kv_lens, q_offset, causal, scale, interpret)
-    return out, (q, k, v, kv_lens)
+    qt = q.transpose(0, 2, 1, 3)
+    kt = k.transpose(0, 2, 1, 3)
+    vt = v.transpose(0, 2, 1, 3)
+    out, lse = flash_attention_fwd(
+        qt, kt, vt, kv_lens, causal=causal, scale=scale,
+        q_offset=int(q_offset), interpret=interpret,
+    )
+    return out.transpose(0, 2, 1, 3), (qt, kt, vt, out, lse, kv_lens)
 
 
 def _flash_bwd_rule(q_offset, causal, scale, interpret, residuals, g):
-    q, k, v, kv_lens = residuals
-
-    def ref(q_, k_, v_):
-        return attention_xla(
-            q_, k_, v_, causal=causal, kv_lens=kv_lens,
-            q_offset=q_offset, scale=scale,
-        )
-
-    _, vjp = jax.vjp(ref, q, k, v)
-    dq, dk, dv = vjp(g)
-    return dq, dk, dv, None
+    qt, kt, vt, out, lse, kv_lens = residuals
+    dq, dk, dv = flash_attention_bwd(
+        qt, kt, vt, out, lse, g.transpose(0, 2, 1, 3), kv_lens,
+        causal=causal, scale=scale, q_offset=q_offset, interpret=interpret,
+    )
+    return (
+        dq.transpose(0, 2, 1, 3),
+        dk.transpose(0, 2, 1, 3),
+        dv.transpose(0, 2, 1, 3),
+        None,
+    )
 
 
 _flash_attention.defvjp(_flash_fwd_rule, _flash_bwd_rule)
