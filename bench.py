@@ -11,9 +11,12 @@ Presets (BENCH_PRESET):
   on chip (BASELINE.json north star; the reference publishes no
   throughput for it, so vs_baseline reuses the A100 stage-1 figure as the
   only available per-chip reference point).
+- "stage2": stage-2 LoRA train step (SAM ViT-H Pallas encode + CLIP +
+  7B LoRA fwd/bwd + mask decode + multi-task losses) on one chip.
 - "tiny": smoke test.
 
-Env knobs: BENCH_BATCH, BENCH_SEQ, BENCH_STEPS.
+Env knobs: BENCH_BATCH, BENCH_SEQ, BENCH_STEPS, BENCH_ATTN (auto|xla|
+flash), BENCH_REMAT (full|dots), BENCH_FUSED_CE, BENCH_QUANT, BENCH_SPLIT.
 """
 
 from __future__ import annotations
@@ -57,8 +60,9 @@ def build(preset: str):
             vid_start_id=32004,
             vid_end_id=32005,
             # Full-logit CE is ~3% faster than the fused streaming CE at
-            # the bsz-8 operating point, which fits in 16 GB HBM.
-            fused_ce=False,
+            # the bsz-8 operating point, which fits in 16 GB HBM; the fused
+            # path unlocks larger batches (BENCH_FUSED_CE=1).
+            fused_ce=os.environ.get("BENCH_FUSED_CE", "0") == "1",
         )
     # Shapes drive FLOPs; values don't. Abstract-init then zero-fill keeps
     # 13.5 GB of random-number generation off the profile.

@@ -245,3 +245,26 @@ def test_preprocess_video_text_appends_patches():
     out = preprocess_video_text(conv, cur_token_len=3)
     v = out[0][0]["value"]
     assert v == "What happens?<vid_beg><video_patch><video_patch><video_patch></vid_end>"
+
+
+def test_preprocess_sep2_fuzz_round_structures():
+    """Random multi-round conversations keep the additive-token invariant:
+    answers unmasked, instructions masked, no mismatch-null."""
+    rng = np.random.default_rng(0)
+    tok = ToyLlamaTokenizer()
+    words = ["alpha", "beta", "gamma", "delta", "x", "y", "zeta"]
+    for trial in range(10):
+        n_rounds = int(rng.integers(1, 5))
+        src = []
+        for r in range(n_rounds):
+            q = " ".join(rng.choice(words, size=rng.integers(1, 6)))
+            a = " ".join(rng.choice(words, size=rng.integers(1, 6)))
+            src.append({"from": "human", "value": q})
+            src.append({"from": "gpt", "value": a})
+        out = preprocess_sep2([src], tok, "conv_sep2")
+        labels = out["labels"][0]
+        assert (labels != IGNORE_INDEX).any(), f"trial {trial} nulled"
+        # every round's eos is predictable
+        ids = out["input_ids"][0]
+        eos_count = int((ids == tok.eos_token_id).sum())
+        assert eos_count == n_rounds

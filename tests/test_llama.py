@@ -144,3 +144,23 @@ def test_remat_matches(tiny_pair):
     np.testing.assert_allclose(
         np.asarray(a["logits"]), np.asarray(b["logits"]), atol=1e-6
     )
+
+
+def test_int8_llama_close_to_fp(tiny_pair):
+    """Weight-only int8 llama stays close to the fp forward (serving)."""
+    from ullava_tpu.ops import quant
+
+    _, cfg, params = tiny_pair
+    ids = jnp.asarray(np.arange(10, dtype=np.int32)[None])
+    ref = llama.forward(params, cfg, input_ids=ids)["logits"]
+
+    qp = dict(params)
+    qp["layers"] = quant.quantize_tree(params["layers"], quant.LLAMA_QUANT_KEYS)
+    qp["lm_head"] = quant.quantize_int8(params["lm_head"])
+    got = llama.forward(qp, cfg, input_ids=ids)["logits"]
+    # same argmax trajectory and small logit drift
+    np.testing.assert_array_equal(
+        np.asarray(jnp.argmax(ref, -1)), np.asarray(jnp.argmax(got, -1))
+    )
+    denom = np.abs(np.asarray(ref)).mean()
+    assert np.abs(np.asarray(got) - np.asarray(ref)).mean() / denom < 0.05
