@@ -125,12 +125,14 @@ def _flash_kernel(
 
     @pl.when(run)
     def _compute():
-        q = q_ref[0, 0].astype(jnp.float32) * scale
-        k = k_ref[0, 0].astype(jnp.float32)
-        v = v_ref[0, 0].astype(jnp.float32)
+        # bf16 matmul inputs, fp32 accumulation (casting inputs to fp32
+        # would run the MXU at a fraction of its bf16 rate).
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
+        v = v_ref[0, 0]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )  # [BQ, BK]
+        ) * scale  # [BQ, BK]
 
         k_pos = k_start + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
         mask = k_pos < kv_len
@@ -285,10 +287,10 @@ def _flash_bwd_dkv_kernel(
 
     @pl.when(run)
     def _compute():
-        q = q_ref[0, 0].astype(jnp.float32)
-        do = do_ref[0, 0].astype(jnp.float32)
-        k = k_ref[0, 0].astype(jnp.float32)
-        v = v_ref[0, 0].astype(jnp.float32)
+        q = q_ref[0, 0]
+        do = do_ref[0, 0]
+        k = k_ref[0, 0]
+        v = v_ref[0, 0]
         lse = lse_ref[0, 0][:, :1]  # [BQ, 1]
         delta = delta_ref[0, 0][:, :1]
 
@@ -296,13 +298,14 @@ def _flash_bwd_dkv_kernel(
                             block_q, block_k, causal, scale)
         # dv += p^T @ dO
         dv_acc[...] += jax.lax.dot_general(
-            p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )
         # ds = p * (dO @ v^T - delta) * scale; dk += ds^T @ q
         dp = jax.lax.dot_general(
             do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
-        ds = p * (dp - delta) * scale
+        ds = (p * (dp - delta) * scale).astype(q.dtype)
         dk_acc[...] += jax.lax.dot_general(
             ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
@@ -338,10 +341,10 @@ def _flash_bwd_dq_kernel(
 
     @pl.when(run)
     def _compute():
-        q = q_ref[0, 0].astype(jnp.float32)
-        do = do_ref[0, 0].astype(jnp.float32)
-        k = k_ref[0, 0].astype(jnp.float32)
-        v = v_ref[0, 0].astype(jnp.float32)
+        q = q_ref[0, 0]
+        do = do_ref[0, 0]
+        k = k_ref[0, 0]
+        v = v_ref[0, 0]
         lse = lse_ref[0, 0][:, :1]
         delta = delta_ref[0, 0][:, :1]
 
@@ -350,7 +353,7 @@ def _flash_bwd_dq_kernel(
         dp = jax.lax.dot_general(
             do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
-        ds = p * (dp - delta) * scale
+        ds = (p * (dp - delta) * scale).astype(k.dtype)
         dq_acc[...] += jax.lax.dot_general(
             ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )

@@ -30,15 +30,18 @@ def _kernel(q_ref, k_ref, v_ref, a_ref, b_ref, o_ref, *, scale: float, window: i
     # Blocks: q/k/v [NB, S, hd], a/b [NB, S, W], o [NB, S, hd]; S = window^2.
     # NB (window, head) pairs per program amortize launch overhead — the
     # per-pair workload (196 x 80) is tiny next to the grid dispatch cost.
-    q = q_ref[...].astype(jnp.float32)
-    k = k_ref[...].astype(jnp.float32)
-    v = v_ref[...].astype(jnp.float32)
+    # Matmul inputs stay bf16 (MXU native rate); accumulation is fp32 via
+    # preferred_element_type — casting inputs to fp32 would quarter MXU
+    # throughput.
+    q = q_ref[...]
+    k = k_ref[...]
+    v = v_ref[...]
     A = a_ref[...].astype(jnp.float32)  # [NB, S, W] (bias over row-blocks a)
     Bb = b_ref[...].astype(jnp.float32)  # [NB, S, W] (bias over cols b)
 
     s = jax.lax.dot_general(
         q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
-    ) * scale  # [NB, S, S]
+    ) * scale  # [NB, S, S] fp32
 
     # bias[s, a*W + b] = A[s, a] + Bb[s, b]. Expand with one-hot matmuls
     # (mosaic rejects merging non-lane-aligned minor dims in a reshape;
@@ -62,7 +65,8 @@ def _kernel(q_ref, k_ref, v_ref, a_ref, b_ref, o_ref, *, scale: float, window: i
     p = jnp.exp(s - m)
     p = p / jnp.sum(p, axis=-1, keepdims=True)
     o_ref[...] = jax.lax.dot_general(
-        p, v, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        p.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
     ).astype(o_ref.dtype)
 
 
@@ -111,15 +115,15 @@ def _tiled_kernel(
         l_ref[...] = jnp.zeros_like(l_ref)
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    q = q_ref[0].astype(jnp.float32)
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0].astype(jnp.float32)
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
     A = a_ref[0].astype(jnp.float32)  # [BQ, W]
     Bb = b_ref[0].astype(jnp.float32)
 
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale  # [BQ, BK]
+    ) * scale  # [BQ, BK] fp32 accumulation over bf16 inputs
 
     # Per-tile one-hot expansion of the decomposed bias: global k index
     # t = ik*BK + col; row-block a = t // W, col b = t % W.
@@ -142,7 +146,8 @@ def _tiled_kernel(
         alpha * l_ref[:, :1] + jnp.sum(p, axis=-1, keepdims=True), l_ref.shape
     )
     acc_ref[...] = acc_ref[...] * alpha + jax.lax.dot_general(
-        p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
     )
     m_ref[...] = jnp.broadcast_to(m_new, m_ref.shape)
 
