@@ -269,3 +269,61 @@ def test_video_transform_primitives():
     assert abs(float(n.max())) <= 1.0 + 1e-6
     flipper = vt.RandomHorizontalFlipVideo(p=1.0)
     np.testing.assert_array_equal(flipper(clip), f)
+
+
+def test_mixed_image_textonly_batch_sqa_style(synthetic_root):
+    """SQA-style mixes: some samples have no image; the collator zero-fills
+    their image slot and the model ignores it (no marker token)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ullava_tpu.models import ullava_core
+
+    anno = json.loads((synthetic_root / "chat.json").read_text())
+    anno.append({
+        "conversations": [
+            {"from": "human", "value": "What is two plus two ?"},
+            {"from": "gpt", "value": "Four ."},
+        ]
+    })
+    (synthetic_root / "sqa.json").write_text(json.dumps(anno))
+
+    cfg_dataset = ConfigNode({
+        "sqa": {
+            "data_type": "image",
+            "image_token_len": 4,
+            "vis_processor": "clip_image",
+            "build_info": {
+                "anno_dir": str(synthetic_root / "sqa.json"),
+                "image_dir": str(synthetic_root / "images"),
+            },
+        }
+    })
+    task = setup_task(ConfigNode({"type": "image_text_pretrain",
+                                  "collator_type": "image_collator"}))
+    tok = _tokenizer()
+    ds = task.build_datasets(
+        cfg_dataset, tok, ConfigNode({"clip_image": {"image_size": 28}})
+    )
+    # the task wraps datasets in a seeded shuffle; locate the text-only row
+    text_only = next(ds[i] for i in range(len(ds))
+                     if "image" not in ds[i])
+
+    with_image = next(ds[i] for i in range(len(ds)) if "image" in ds[i])
+    collator = task.build_collator(tok.pad_token_id, pad_multiple=8)
+    batch = collator([with_image, text_only])
+    assert batch["images"].shape[0] == 2
+    np.testing.assert_array_equal(batch["images"][1], 0)  # zero-filled slot
+
+    # The model runs the mixed batch; the text-only row never reads the
+    # zero image (no <img_beg> marker).
+    cfg = ullava_core.UllavaCoreConfig.tiny()
+    params = ullava_core.init_params(jax.random.PRNGKey(0), cfg)
+    ids = np.asarray(batch["input_ids"]) % 150
+    out = ullava_core.forward(
+        params, cfg,
+        input_ids=jnp.asarray(ids), labels=jnp.asarray(ids),
+        images=jnp.asarray(batch["images"]),
+        attn_lens=jnp.asarray(batch["attn_lens"]),
+    )
+    assert np.isfinite(float(out["loss"]))
