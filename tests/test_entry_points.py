@@ -244,3 +244,18 @@ def test_build_from_hf_checkpoint_dirs(tmp_path):
     np.testing.assert_allclose(
         np.asarray(got["logits"])[..., :128], ref, atol=3e-4, rtol=3e-4
     )
+
+
+def test_train_ullava_stage2_lora_end_to_end(synthetic_stage2, tmp_path):
+    """LoRA variant of the stage-2 entry: adapters train, base frozen."""
+    import train_ullava
+
+    tok = ToyLlamaTokenizer(model_max_length=128)
+    tok.add_tokens(MM_TOKENS)
+    cfg = _stage2_cfg(synthetic_stage2, tmp_path / "exp_lora")
+    cfg.config["model"]["lora_r"] = 4
+    cfg.config["model"]["lora_alpha"] = 8
+    state = train_ullava.train(cfg, tokenizer=tok)
+    assert int(state.step) >= 1
+    layers = state.params["core"]["llm"]["layers"]
+    assert "q_proj_lora_a" in layers and "v_proj_lora_b" in layers
