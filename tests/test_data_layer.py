@@ -327,3 +327,19 @@ def test_mixed_image_textonly_batch_sqa_style(synthetic_root):
         attn_lens=jnp.asarray(batch["attn_lens"]),
     )
     assert np.isfinite(float(out["loss"]))
+
+
+def test_concat_shuffle_portion_gt_one():
+    from ullava_tpu.data.datasets import ConcatDatasetWithShuffle
+
+    class Toy:
+        def __len__(self):
+            return 5
+
+        def __getitem__(self, i):
+            return i
+
+    ds = ConcatDatasetWithShuffle([Toy()], seed=3, portion=2.0)
+    assert len(ds) == 10  # repeats the index list
+    vals = [ds[i] for i in range(len(ds))]
+    assert sorted(vals) == sorted(list(range(5)) * 2)
