@@ -58,7 +58,7 @@ def test_stage1_sharded_training_decreases_loss():
 
     tx = optim.make_optimizer(1e-2)
     state, labels = make_train_state(params, tx, optim.STAGE1_PRETRAIN)
-    state = shard_train_state(state, mesh)
+    state = shard_train_state(state, mesh, tx, labels)
 
     rng = np.random.default_rng(0)
     B, S = 8, 16
@@ -107,7 +107,7 @@ def test_stage1_freeze_policy_only_updates_projector_and_embeddings():
     params = {"core": ullava_core.init_params(jax.random.PRNGKey(1), cfg)}
     tx = optim.make_optimizer(1e-2)
     state, labels = make_train_state(params, tx, optim.STAGE1_PRETRAIN)
-    state = shard_train_state(state, mesh)
+    state = shard_train_state(state, mesh, tx, labels)
 
     rng = np.random.default_rng(1)
     ids, images = _image_batch(cfg, rng, 8, 16)
@@ -144,7 +144,7 @@ def test_stage2_sharded_step_runs():
     params = ullava.init_params(jax.random.PRNGKey(2), cfg)
     tx = optim.make_optimizer(1e-3)
     state, labels = make_train_state(params, tx, optim.STAGE2)
-    state = shard_train_state(state, mesh)
+    state = shard_train_state(state, mesh, tx, labels)
 
     rng = np.random.default_rng(2)
     B, S, F = 8, 16, cfg.mask_loss_frame
@@ -234,3 +234,38 @@ def test_training_determinism():
         return losses
 
     assert run() == run()
+
+
+def test_opt_state_sharding_is_structural_not_shape_keyed():
+    """Regression (VERDICT r1 #5): two same-SHAPE params with different
+    partition specs must each get their own spec on the Adam moments.
+    q_proj [L,D,H*hd] shards (fsdp, tp) on the last two dims while
+    o_proj [L,H*hd,D] shards (tp, fsdp) — with D == H*hd the shapes
+    collide, so a shape-keyed map would put one param's moments on the
+    other's layout."""
+    mesh = make_mesh(MeshConfig(fsdp=2, tp=2))
+    params = {
+        "llm": {
+            "layers": {
+                "q_proj": jnp.zeros((2, 8, 8), jnp.float32),
+                "o_proj": jnp.zeros((2, 8, 8), jnp.float32),
+            }
+        }
+    }
+    specs = param_partition_specs(params, mesh)
+    q_spec = specs["llm"]["layers"]["q_proj"]
+    o_spec = specs["llm"]["layers"]["o_proj"]
+    assert q_spec != o_spec  # the premise: same shape, different specs
+
+    tx = optim.make_optimizer(1e-2)
+    state, labels = make_train_state(params, tx, (r"^llm/",))
+    state = shard_train_state(state, mesh, tx, labels)
+
+    adam = state.opt_state[1][0]  # chain(clip, adamw) -> adamw scale_by_adam
+    for moments in (adam.mu, adam.nu):
+        got_q = moments["llm"]["layers"]["q_proj"].sharding.spec
+        got_o = moments["llm"]["layers"]["o_proj"].sharding.spec
+        assert got_q == q_spec, got_q
+        assert got_o == o_spec, got_o
+    # non-param state replicates
+    assert adam.count.sharding.spec == jax.sharding.PartitionSpec()

@@ -82,7 +82,7 @@ def train(cfg, tokenizer=None):
     use_lora = int(model_cfg.get("lora_r", -1)) > 0
     patterns = optim.STAGE2_LORA if use_lora else optim.STAGE2
     state, labels = make_train_state(params, tx, patterns)
-    state = shard_train_state(state, mesh)
+    state = shard_train_state(state, mesh, tx, labels)
     step = jit_step(make_stage2_step(u_cfg, tx, labels))
 
     eval_fn = None

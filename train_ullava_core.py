@@ -80,7 +80,7 @@ def train(cfg, tokenizer=None):
         else optim.STAGE1_FINETUNE
     )
     state, labels = make_train_state(params, tx, patterns)
-    state = shard_train_state(state, mesh)
+    state = shard_train_state(state, mesh, tx, labels)
     step = jit_step(make_stage1_step(core_cfg, tx, labels))
 
     trainer = Trainer(

@@ -48,26 +48,29 @@ def make_train_state(
     )
 
 
-def shard_train_state(state: TrainState, mesh: Mesh) -> TrainState:
+def shard_train_state(
+    state: TrainState,
+    mesh: Mesh,
+    tx: optax.GradientTransformation,
+    labels: Any,
+) -> TrainState:
     """Place params per partition rules; optimizer moments inherit their
-    param's sharding (matched by tree position); scalars replicate."""
+    param's sharding by TREE POSITION: `optax.tree_map_params` walks the
+    param-tree copies embedded in the optimizer state (Adam mu/nu mirror
+    the trainable subtree), so two same-shaped params with different
+    specs can never collide. Non-param state (step counts) replicates."""
     p_shard = param_shardings(state.params, mesh)
     params = jax.tree_util.tree_map(jax.device_put, state.params, p_shard)
-
-    flat_specs = {}
-    for (path, leaf), (_, spec) in zip(
-        jax.tree_util.tree_leaves_with_path(state.params),
-        jax.tree_util.tree_leaves_with_path(p_shard),
-    ):
-        flat_specs[leaf.shape] = spec  # shape -> sharding (best effort)
-
-    def opt_put(leaf):
-        if hasattr(leaf, "shape") and leaf.shape in flat_specs and leaf.ndim > 0:
-            return jax.device_put(leaf, flat_specs[leaf.shape])
-        return jax.device_put(leaf, NamedSharding(mesh, P()))
-
-    opt_state = jax.tree_util.tree_map(opt_put, state.opt_state)
-    step = jax.device_put(state.step, NamedSharding(mesh, P()))
+    train_specs, _ = partition_params(p_shard, labels)
+    repl = NamedSharding(mesh, P())
+    opt_state = optax.tree_map_params(
+        tx,
+        lambda leaf, spec: jax.device_put(leaf, spec),
+        state.opt_state,
+        train_specs,
+        transform_non_params=lambda leaf: jax.device_put(leaf, repl),
+    )
+    step = jax.device_put(state.step, repl)
     return TrainState(step=step, params=params, opt_state=opt_state)
 
 
