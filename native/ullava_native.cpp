@@ -9,6 +9,8 @@
 //   - SAM image normalize+pad (uint8 HWC -> normalized f32 frame)
 // Exposed with a plain C ABI for ctypes (no pybind11 dependency).
 
+#include <algorithm>
+#include <cmath>
 #include <cstdint>
 #include <cstring>
 #include <vector>
@@ -132,6 +134,86 @@ void sam_normalize_pad(const uint8_t* in, int h, int w, int size,
       dst[x * 3 + 2] = (src[x * 3 + 2] - mean[2]) * inv2;
     }
   }
+}
+
+// Polygon -> RLE counts, the exact pycocotools integer rasterizer
+// (maskApi.c rleFrPoly): 5x upsample, dense boundary walk, keep points on
+// pixel-column boundaries, even-odd toggle encode (column-major).
+// xy = [x0,y0,x1,y1,...] (n_pts vertices). Writes alternating run lengths
+// to `out`; returns the number of runs, or -1 if out overflows max_out.
+int poly_counts(const double* xy, int n_pts, int h, int w, int64_t* out,
+                int max_out) {
+  const double scale = 5.0;
+  std::vector<int64_t> x(n_pts + 1), y(n_pts + 1);
+  for (int j = 0; j < n_pts; ++j) {
+    x[j] = (int64_t)(scale * xy[2 * j + 0] + 0.5);
+    y[j] = (int64_t)(scale * xy[2 * j + 1] + 0.5);
+  }
+  x[n_pts] = x[0];
+  y[n_pts] = y[0];
+
+  std::vector<int64_t> u, v;
+  for (int j = 0; j < n_pts; ++j) {
+    int64_t xs = x[j], xe = x[j + 1], ys = y[j], ye = y[j + 1];
+    int64_t dx = xs > xe ? xs - xe : xe - xs;
+    int64_t dy = ys > ye ? ys - ye : ye - ys;
+    bool flip = (dx >= dy && xs > xe) || (dx < dy && ys > ye);
+    if (flip) {
+      int64_t t = xs; xs = xe; xe = t;
+      t = ys; ys = ye; ye = t;
+    }
+    if (dx >= dy) {
+      double s = dx ? (double)(ye - ys) / dx : 0.0;
+      for (int64_t d = 0; d <= dx; ++d) {
+        int64_t t = flip ? dx - d : d;
+        u.push_back(t + xs);
+        v.push_back((int64_t)(ys + s * t + 0.5));
+      }
+    } else {
+      double s = dy ? (double)(xe - xs) / dy : 0.0;
+      for (int64_t d = 0; d <= dy; ++d) {
+        int64_t t = flip ? dy - d : d;
+        v.push_back(t + ys);
+        u.push_back((int64_t)(xs + s * t + 0.5));
+      }
+    }
+  }
+
+  std::vector<int64_t> a;
+  for (size_t j = 1; j < u.size(); ++j) {
+    if (u[j] == u[j - 1]) continue;
+    double xd = (double)(u[j] < u[j - 1] ? u[j] : u[j] - 1);
+    xd = (xd + 0.5) / scale - 0.5;
+    if (std::floor(xd) != xd || xd < 0 || xd > w - 1) continue;
+    double yd = (double)(v[j] < v[j - 1] ? v[j] : v[j - 1]);
+    yd = (yd + 0.5) / scale - 0.5;
+    if (yd < 0) yd = 0; else if (yd > h) yd = h;
+    yd = std::ceil(yd);
+    a.push_back((int64_t)xd * h + (int64_t)yd);
+  }
+  a.push_back((int64_t)h * w);
+  std::sort(a.begin(), a.end());
+
+  int64_t prev = 0;
+  for (size_t j = 0; j < a.size(); ++j) {
+    int64_t t = a[j];
+    a[j] -= prev;
+    prev = t;
+  }
+  int m = 0;
+  if (max_out < 1) return -1;
+  out[m++] = a[0];
+  size_t j = 1;
+  while (j < a.size()) {
+    if (a[j] > 0) {
+      if (m >= max_out) return -1;
+      out[m++] = a[j++];
+    } else {
+      j++;
+      if (j < a.size()) out[m - 1] += a[j++];
+    }
+  }
+  return m;
 }
 
 }  // extern "C"

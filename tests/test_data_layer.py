@@ -343,3 +343,84 @@ def test_concat_shuffle_portion_gt_one():
     assert len(ds) == 10  # repeats the index list
     vals = [ds[i] for i in range(len(ds))]
     assert sorted(vals) == sorted(list(range(5)) * 2)
+
+
+# --------------------------------------------------------------------------
+# Exact pycocotools polygon rasterizer (VERDICT r1 #6)
+# --------------------------------------------------------------------------
+def test_fr_poly_exact_rectangle():
+    """Analytic trace of the pycocotools algorithm: integer box
+    [x0,y0,x1,y1] = [1,1,4,4] toggles columns 1..3 at rows 1 and 4,
+    filling exactly mask[1:4, 1:4] (area 9)."""
+    m = rle.decode(rle.fr_poly([[1, 1, 4, 1, 4, 4, 1, 4]], 8, 8)[0])
+    expect = np.zeros((8, 8), np.uint8)
+    expect[1:4, 1:4] = 1
+    np.testing.assert_array_equal(m, expect)
+
+
+def test_fr_poly_python_matches_native():
+    """The numpy and C++ implementations of rleFrPoly are the same
+    algorithm: fuzz for exact equality on random polygons."""
+    from ullava_tpu.data.tools import native
+
+    if not native.available():
+        import pytest
+        pytest.skip("native library not built")
+    rng = np.random.default_rng(0)
+    for trial in range(200):
+        n = int(rng.integers(3, 9))
+        h, w = int(rng.integers(4, 40)), int(rng.integers(4, 40))
+        poly = (rng.random(2 * n) * max(h, w)).tolist()
+        py = rle._poly_counts(poly, h, w)
+        cc = native.poly_counts(np.asarray(poly), h, w)
+        assert cc == py, f"trial {trial}: {poly}"
+
+
+def test_fr_poly_vs_cv2_boundary_delta():
+    """Quantify the boundary delta vs cv2.fillPoly (the round-1
+    approximation): interiors agree (high IoU), differences confined to
+    the polygon boundary band."""
+    import cv2
+
+    rng = np.random.default_rng(1)
+    ious = []
+    total_excess = total_area = 0
+    for _ in range(50):
+        n = int(rng.integers(5, 10))
+        h = w = 64
+        cx, cy = 32 + rng.normal(0, 4, 2)
+        ang = np.sort(rng.random(n) * 2 * np.pi)
+        rad = 14 + rng.random(n) * 12
+        xs = np.clip(cx + rad * np.cos(ang), 0, w - 1)
+        ys = np.clip(cy + rad * np.sin(ang), 0, h - 1)
+        poly = np.stack([xs, ys], 1).reshape(-1).tolist()
+        exact = rle.decode(rle.fr_poly([poly], h, w)[0])
+        canvas = np.zeros((h, w), np.uint8)
+        cv2.fillPoly(canvas, [np.round(np.stack([xs, ys], 1)).astype(np.int32)], 1)
+        inter = (exact & canvas).sum()
+        union = (exact | canvas).sum()
+        if union:
+            ious.append(inter / union)
+        # exact never exceeds cv2's boundary-inclusive fill by more than
+        # the 1-px band; cv2 MAY exceed exact (it strokes 1-px outline
+        # lines, and thin slivers nearly vanish under the even-odd column
+        # rule — pycocotools' documented thin-polygon behavior), so that
+        # direction is quantified in aggregate rather than forbidden
+        k = np.ones((3, 3), np.uint8)
+        assert not (exact & ~cv2.dilate(canvas, k)).any()
+        total_excess += int((canvas & ~cv2.dilate(exact, k)).sum())
+        total_area += int(canvas.sum())
+    assert np.mean(ious) > 0.85, np.mean(ious)
+    assert total_excess <= 0.02 * total_area, (total_excess, total_area)
+
+
+def test_fr_poly_degenerate_inputs():
+    # repeated vertices and off-canvas points must not crash
+    for poly in (
+        [1, 1, 1, 1, 1, 1],              # all-equal vertices
+        [2, 2, 6, 2, 6, 2, 6, 6],        # repeated vertex mid-list
+        [-3, -3, 12, -3, 12, 12, -3, 12],  # exceeds canvas
+    ):
+        rles = rle.fr_poly([poly], 8, 8)
+        m = rle.decode(rles[0])
+        assert m.shape == (8, 8)

@@ -43,6 +43,7 @@ def _load() -> Optional[ctypes.CDLL]:
             lib = ctypes.CDLL(_LIB_PATH)
             lib.rle_decode.restype = ctypes.c_int
             lib.rle_encode.restype = ctypes.c_int
+            lib.poly_counts.restype = ctypes.c_int
             _lib = lib
             logger.info("native host-ops library loaded from %s", _LIB_PATH)
         except Exception as e:  # toolchain missing -> numpy fallback
@@ -92,6 +93,28 @@ def resize_nearest(mask: np.ndarray, oh: int, ow: int) -> Optional[np.ndarray]:
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), oh, ow,
     )
     return out
+
+
+def poly_counts(xy: np.ndarray, h: int, w: int) -> Optional[list]:
+    """Polygon -> RLE counts via the native exact pycocotools rasterizer.
+    Returns None when the library isn't built (numpy fallback applies)."""
+    lib = _load()
+    if lib is None:
+        return None
+    xy = np.ascontiguousarray(np.asarray(xy, np.float64).reshape(-1))
+    n_pts = xy.size // 2
+    if n_pts < 1:
+        return None
+    # Upper bound on runs: one per dense boundary point + sentinel.
+    pts = xy.reshape(-1, 2)
+    per = np.abs(np.diff(np.vstack([pts, pts[:1]]), axis=0)).sum()
+    max_out = int(5 * per) + 2 * n_pts + 16
+    out = np.empty(max_out, np.int64)
+    n = lib.poly_counts(
+        xy.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), n_pts, h, w,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), max_out,
+    )
+    return out[:n].tolist() if n >= 0 else None
 
 
 def sam_normalize_pad(

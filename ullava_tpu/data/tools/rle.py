@@ -122,18 +122,99 @@ def encode(mask: np.ndarray) -> RLE:
     return {"size": [h, w], "counts": _counts_to_leb(runs)}
 
 
+def _poly_counts(poly: Sequence[float], h: int, w: int) -> List[int]:
+    """Exact port of pycocotools' polygon rasterizer (maskApi.c rleFrPoly).
+
+    The algorithm: scale vertices by 5 and round to ints; walk every edge
+    densely (one point per unit step of the dominant axis, the minor axis
+    rounded); keep only the points where the upsampled x column changes
+    and map them back to pixel space (a point survives iff it lands
+    exactly on a pixel-column boundary); each surviving (x, y) toggles the
+    mask from flat column-major index x*h+y onward (even-odd rule), so
+    sorting the toggle indices and differencing yields the RLE counts.
+    Reference dependency site: /root/reference/dataset/datasets/
+    res_dataset.py:11 (pycocotools.mask.frPyObjects)."""
+    scale = 5.0
+    xy = np.asarray(poly, np.float64).reshape(-1, 2)
+    k = xy.shape[0]
+    # C: (int)(scale * v + .5) — truncation toward zero.
+    x = np.trunc(scale * xy[:, 0] + 0.5).astype(np.int64)
+    y = np.trunc(scale * xy[:, 1] + 0.5).astype(np.int64)
+    x = np.append(x, x[0])
+    y = np.append(y, y[0])
+
+    us: List[np.ndarray] = []
+    vs: List[np.ndarray] = []
+    for j in range(k):
+        xs, xe, ys, ye = int(x[j]), int(x[j + 1]), int(y[j]), int(y[j + 1])
+        dx, dy = abs(xe - xs), abs(ys - ye)
+        flip = (dx >= dy and xs > xe) or (dx < dy and ys > ye)
+        if flip:
+            xs, xe, ys, ye = xe, xs, ye, ys
+        if dx >= dy:
+            # C computes (ye-ys)/dx even when dx==0 (degenerate repeated
+            # vertex -> 0/0); those points are dropped by the u-change
+            # filter below, so a defined 0.0 slope is behavior-identical.
+            s = (ye - ys) / dx if dx else 0.0
+            t = np.arange(dx + 1, dtype=np.int64)
+            if flip:
+                t = dx - t
+            us.append(t + xs)
+            vs.append(np.trunc(ys + s * t + 0.5).astype(np.int64))
+        else:
+            s = (xe - xs) / dy if dy else 0.0
+            t = np.arange(dy + 1, dtype=np.int64)
+            if flip:
+                t = dy - t
+            vs.append(t + ys)
+            us.append(np.trunc(xs + s * t + 0.5).astype(np.int64))
+    u = np.concatenate(us) if us else np.zeros(0, np.int64)
+    v = np.concatenate(vs) if vs else np.zeros(0, np.int64)
+
+    # Downsample: keep points where the upsampled column changes.
+    toggles: List[int] = []
+    if u.size > 1:
+        changed = np.flatnonzero(u[1:] != u[:-1]) + 1  # j with u[j] != u[j-1]
+        uj, ujm1 = u[changed], u[changed - 1]
+        vj, vjm1 = v[changed], v[changed - 1]
+        xd = np.where(uj < ujm1, uj, uj - 1).astype(np.float64)
+        xd = (xd + 0.5) / scale - 0.5
+        keep = (np.floor(xd) == xd) & (xd >= 0) & (xd <= w - 1)
+        xd = xd[keep]
+        yd = np.minimum(vj, vjm1)[keep].astype(np.float64)
+        yd = (yd + 0.5) / scale - 0.5
+        yd = np.ceil(np.clip(yd, 0, h))
+        toggles = (xd.astype(np.int64) * h + yd.astype(np.int64)).tolist()
+
+    # Toggle positions -> alternating run lengths (starts with a zeros run).
+    a = np.sort(np.asarray(toggles + [h * w], dtype=np.int64))
+    diffs = np.diff(np.concatenate([[0], a])).tolist()
+    b = [int(diffs[0])]
+    j = 1
+    while j < len(diffs):
+        if diffs[j] > 0:
+            b.append(int(diffs[j]))
+            j += 1
+        else:  # zero-length run: merge the neighbors (parity unchanged)
+            j += 1
+            if j < len(diffs):
+                b[-1] += int(diffs[j])
+                j += 1
+    return b
+
+
 def fr_poly(polys: Sequence[Sequence[float]], h: int, w: int) -> List[RLE]:
-    """Polygon(s) [x0,y0,x1,y1,...] -> per-polygon RLEs (frPyObjects)."""
-    import cv2
+    """Polygon(s) [x0,y0,x1,y1,...] -> per-polygon RLEs (frPyObjects).
+    Uses the exact pycocotools integer rasterizer (see `_poly_counts`);
+    the native C++ path, when built, implements the same algorithm."""
+    from ullava_tpu.data.tools import native
 
     out = []
     for poly in polys:
-        pts = np.asarray(poly, np.float64).reshape(-1, 2)
-        canvas = np.zeros((h, w), np.uint8)
-        # pycocotools rasterizes with its own integer scheme; fillPoly on
-        # rounded vertices matches to within boundary pixels.
-        cv2.fillPoly(canvas, [np.round(pts).astype(np.int32)], 1)
-        out.append(encode(canvas))
+        counts = native.poly_counts(np.asarray(poly, np.float64), h, w)
+        if counts is None:
+            counts = _poly_counts(poly, h, w)
+        out.append({"size": [h, w], "counts": _counts_to_leb(counts)})
     return out
 
 

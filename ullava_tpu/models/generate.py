@@ -36,6 +36,10 @@ class GenerateConfig:
     top_p: Optional[float] = None
     stop_token_ids: Tuple[int, ...] = ()  # usually (eos_id,) + keyword ids
     capture_hidden: bool = True
+    # Real vocabulary size when embeddings/lm_head are padded to an
+    # MXU-aligned width (multiple of 128): logits at ids >= vocab_size are
+    # masked out of argmax/sampling so pad slots can never be emitted.
+    vocab_size: Optional[int] = None
 
     @property
     def do_sample(self) -> bool:
@@ -46,6 +50,9 @@ def sample_token(
     rng: jax.Array, logits: jax.Array, gen: GenerateConfig
 ) -> jax.Array:
     """[B, V] logits -> [B] token ids."""
+    if gen.vocab_size is not None and gen.vocab_size < logits.shape[-1]:
+        pad = jnp.arange(logits.shape[-1]) >= gen.vocab_size
+        logits = jnp.where(pad[None, :], -jnp.inf, logits)
     if not gen.do_sample:
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
     logits = logits / gen.temperature
@@ -91,10 +98,20 @@ def generate(
     pre = llama.forward(
         params["llm"], cfg.llm,
         inputs_embeds=embeds, kv_lens=prompt_lens, kv_cache=cache,
+        compute_logits=False,
     )
     b_idx = jnp.arange(B)
     last_idx = prompt_lens - 1
-    first_tok = sample_token(rng, pre["logits"][b_idx, last_idx], gen)
+    # Logits only at each sample's last prompt position: materializing the
+    # full [B, S, V] fp32 prefill logits (~0.7 GB at B=16) costs both HBM
+    # and lm_head FLOPs for positions that are never sampled.
+    from ullava_tpu.ops.quant import apply_linear
+
+    h_last = pre["hidden_states"][b_idx, last_idx]  # [B, D]
+    last_logits = apply_linear(
+        h_last.astype(cfg.llm.dtype), params["llm"]["lm_head"]
+    ).astype(jnp.float32)
+    first_tok = sample_token(rng, last_logits, gen)
 
     sequences = jnp.zeros((B, total), jnp.int32)
     sequences = jax.lax.dynamic_update_slice(sequences, input_ids.astype(jnp.int32), (0, 0))

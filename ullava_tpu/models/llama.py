@@ -117,8 +117,9 @@ def _layer(
     cos: jax.Array,
     sin: jax.Array,
     kv_lens: Optional[jax.Array],
-    cache_k: Optional[jax.Array],  # [B, maxS, Hkv, hd]
+    cache_k: Optional[jax.Array],  # FULL stacked cache [L, B, maxS, Hkv, hd]
     cache_v: Optional[jax.Array],
+    layer_idx: Optional[jax.Array],  # [] scalar index into the stacked cache
     write_pos: Optional[jax.Array],  # [B] per-sample write index
     causal: bool,
     attn_impl: str,
@@ -141,21 +142,32 @@ def _layer(
     q, k = apply_rotary(q, k, cos, sin)
 
     if cache_k is not None:
+        # The FULL stacked cache is threaded through the layer scan as a
+        # carry (not xs->ys): XLA aliases carry buffers in place, so a
+        # decode step writes only the B scattered rows instead of copying
+        # the whole multi-GB cache once per step (round-1 decode was ~2.5x
+        # off its HBM roofline exactly because of those copies).
         if S == 1:
-            # Decode: scatter the new k/v at each sample's write position.
             b_idx = jnp.arange(B)
-            cache_k = cache_k.at[b_idx, write_pos].set(k[:, 0].astype(cache_k.dtype))
-            cache_v = cache_v.at[b_idx, write_pos].set(v[:, 0].astype(cache_v.dtype))
+            cache_k = cache_k.at[layer_idx, b_idx, write_pos].set(
+                k[:, 0].astype(cache_k.dtype)
+            )
+            cache_v = cache_v.at[layer_idx, b_idx, write_pos].set(
+                v[:, 0].astype(cache_v.dtype)
+            )
+            k_all = jax.lax.dynamic_index_in_dim(cache_k, layer_idx, 0, keepdims=False)
+            v_all = jax.lax.dynamic_index_in_dim(cache_v, layer_idx, 0, keepdims=False)
             attn = attention(
-                q, cache_k, cache_v, causal=False, kv_lens=kv_lens, impl="xla"
+                q, k_all, v_all, causal=False, kv_lens=kv_lens, impl="xla"
             )
         else:
             # Prefill: bulk-write positions [0, S) and attend causally.
+            idx = (layer_idx,) + (jnp.int32(0),) * 4
             cache_k = jax.lax.dynamic_update_slice(
-                cache_k, k.astype(cache_k.dtype), (0, 0, 0, 0)
+                cache_k, k.astype(cache_k.dtype)[None], idx
             )
             cache_v = jax.lax.dynamic_update_slice(
-                cache_v, v.astype(cache_v.dtype), (0, 0, 0, 0)
+                cache_v, v.astype(cache_v.dtype)[None], idx
             )
             attn = attention(
                 q, k, v, causal=causal, kv_lens=kv_lens, impl=attn_impl
@@ -205,7 +217,7 @@ def forward(
 
         def body(carry, lp):
             out, _, _ = _layer(
-                cfg, carry, lp, cos, sin, kv_lens, None, None, None,
+                cfg, carry, lp, cos, sin, kv_lens, None, None, None, None,
                 causal, cfg.attn_impl,
             )
             return out, None
@@ -221,17 +233,21 @@ def forward(
         h, _ = jax.lax.scan(body_fn, h, layer_params)
         new_cache = None
     else:
+        n_layers = jax.tree_util.tree_leaves(layer_params)[0].shape[0]
 
         def body(carry, xs):
-            lp, ck, cv = xs
-            out, ck, cv = _layer(
-                cfg, carry, lp, cos, sin, kv_lens, ck, cv, write_pos,
+            hh, ck, cv = carry
+            lp, i = xs
+            hh, ck, cv = _layer(
+                cfg, hh, lp, cos, sin, kv_lens, ck, cv, i, write_pos,
                 causal, cfg.attn_impl,
             )
-            return out, (ck, cv)
+            return (hh, ck, cv), None
 
-        h, (new_k, new_v) = jax.lax.scan(
-            body, h, (layer_params, kv_cache["k"], kv_cache["v"])
+        (h, new_k, new_v), _ = jax.lax.scan(
+            body,
+            (h, kv_cache["k"], kv_cache["v"]),
+            (layer_params, jnp.arange(n_layers, dtype=jnp.int32)),
         )
         new_cache = {"k": new_k, "v": new_v}
 
