@@ -299,7 +299,12 @@ def add_lora(
 
 def merge_lora(params: Params, cfg: LlamaConfig) -> Params:
     """Fold adapters into the base weights (serving path); strips lora keys
-    like the reference's LoRA-aware save (`train_ullava.py:71-85`)."""
+    like the reference's LoRA-aware save (`train_ullava.py:71-85`).
+    Quantized (int8) base leaves are dequantized, folded, and requantized
+    in place, so the quantize -> add_lora -> train -> merge serving chain
+    works without rebuilding the bf16 stack."""
+    from ullava_tpu.ops.quant import dequantize, is_quantized, quantize_int8
+
     layers = dict(params["layers"])
     for name in list(layers):
         if name.endswith("_lora_a"):
@@ -308,8 +313,11 @@ def merge_lora(params: Params, cfg: LlamaConfig) -> Params:
             delta = cfg.lora_scale * jnp.einsum(
                 "lir,lro->lio", a.astype(jnp.float32), b.astype(jnp.float32)
             )
-            layers[base] = (layers[base].astype(jnp.float32) + delta).astype(
-                layers[base].dtype
-            )
+            w = layers[base]
+            if is_quantized(w):
+                merged = dequantize(w, jnp.float32) + delta
+                layers[base] = quantize_int8(merged)
+            else:
+                layers[base] = (w.astype(jnp.float32) + delta).astype(w.dtype)
             del layers[name], layers[base + "_lora_b"]
     return {**params, "layers": layers}
