@@ -1,22 +1,30 @@
 """North-star benchmark. Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "images/sec/chip", "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": "images/sec/chip", "vs_baseline": N,
+   "mfu": ..., "phase_split": {...}, "secondary": {...}}
 
 Presets (BENCH_PRESET):
-- "7b" (default): stage-1 training throughput — CLIP ViT-L encode +
-  projector + LLaMA-7B fwd/bwd, bf16, remat. Baseline: the reference's
-  only published system-performance datum — ~6 h/epoch over 595K samples
-  on 4x A100-80G (`/root/reference/README.md:332`) = 6.887 images/sec/chip.
-- "res": RES serving pipeline — SAM ViT-H encode (1024^2) + CLIP ViT-L +
-  7B prefill + 32-token decode + [SEG] readout + mask decode, end to end
-  on chip (BASELINE.json north star; the reference publishes no
-  throughput for it, so vs_baseline reuses the A100 stage-1 figure as the
-  only available per-chip reference point).
+- "res" (default): the BASELINE.json north-star metric — RefCOCO RES
+  serving end to end on chip: SAM ViT-H encode (1024^2) + CLIP ViT-L +
+  7B prefill + 32-token decode + [SEG] readout + SAM mask decode, int8
+  weights. The reference publishes no RES throughput, so vs_baseline
+  uses its only per-chip system datum (below) as the comparison point.
+  The stage-1 training number rides along under "secondary"
+  (BENCH_SECONDARY=0 to skip).
+- "7b": stage-1 training throughput — CLIP ViT-L encode + projector +
+  LLaMA-7B fwd/bwd, bf16, remat. Baseline: the reference's only published
+  system-performance datum — ~6 h/epoch over 595K samples on 4x A100-80G
+  (`/root/reference/README.md:332`) = 6.887 images/sec/chip.
 - "stage2": stage-2 LoRA train step (SAM ViT-H Pallas encode + CLIP +
   7B LoRA fwd/bwd + mask decode + multi-task losses) on one chip.
 - "tiny": smoke test.
 
+MFU counts matmul FLOPs only (2*params*tokens inference, 6*params*tokens
+training; attention score/value matmuls excluded), over the v5e bf16
+peak — a lower bound on true utilization.
+
 Env knobs: BENCH_BATCH, BENCH_SEQ, BENCH_STEPS, BENCH_ATTN (auto|xla|
-flash), BENCH_REMAT (full|dots), BENCH_FUSED_CE, BENCH_QUANT, BENCH_SPLIT.
+flash), BENCH_REMAT (full|dots), BENCH_FUSED_CE, BENCH_QUANT, BENCH_SPLIT,
+BENCH_SECONDARY.
 """
 
 from __future__ import annotations
@@ -30,6 +38,23 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 # images/sec/chip derived from README.md:332 (595K samples, 6h, 4 GPUs).
 A100_BASELINE = 595_000 / (6 * 3600) / 4
+
+V5E_BF16_PEAK = 197e12  # FLOP/s
+
+
+def count_matmul_params(tree) -> int:
+    """Elements of >=2-D leaves (int8 'q' leaves included), excluding
+    lookup tables (embed/pos_embed) — the 2*N*T FLOPs-model weight count."""
+    import jax
+
+    total = 0
+    for path, leaf in jax.tree_util.tree_leaves_with_path(tree):
+        keys = [str(getattr(p, "key", "")) for p in path]
+        if any(k in ("embed_tokens", "pos_embed", "scale") for k in keys):
+            continue
+        if hasattr(leaf, "ndim") and leaf.ndim >= 2:
+            total += leaf.size
+    return total
 
 
 def zeros_like_tree(tree):
@@ -264,7 +289,8 @@ def run_res(batch: int, steps: int, max_new_tokens: int = 32):
         low, iou = sam_build.forward_masks(p["sam"], cfg.sam, emb, seg_embeds)
         return low
 
-    if os.environ.get("BENCH_SPLIT", "1") == "0":
+    split_mode = os.environ.get("BENCH_SPLIT", "1") != "0"
+    if not split_mode:
         # Single-program serve (int8 weights leave headroom for the
         # combined temp arena; saves the inter-program dispatch gap).
         @jax.jit
@@ -290,7 +316,43 @@ def run_res(batch: int, steps: int, max_new_tokens: int = 32):
     jax.block_until_ready(low)
     _ = float(lens[0])
     dt = (time.perf_counter() - t0) / steps
-    return batch / dt
+
+    # Coarse phase split: time the two serve programs separately
+    # (tools/phase_split.py gives the finer per-phase breakdown).
+    phase = {}
+    if split_mode:
+        def timed(fn, *a):
+            out = fn(*a)
+            jax.block_until_ready(out)
+            _ = float(jax.tree_util.tree_leaves(out)[0].reshape(-1)[0])
+            t = time.perf_counter()
+            for _ in range(steps):
+                out = fn(*a)
+            jax.block_until_ready(out)
+            _ = float(jax.tree_util.tree_leaves(out)[0].reshape(-1)[0])
+            return (time.perf_counter() - t) / steps
+
+        t_llm = timed(serve_llm, params, batch_data)
+        seg0 = jnp.zeros((batch, cfg.max_masks, 256), jnp.float32)
+        t_sam = timed(serve_sam, params, batch_data["images_sam"], seg0)
+        phase = {
+            "llm_clip_prefill_decode_s": round(t_llm, 4),
+            "sam_encode_mask_decode_s": round(t_sam, 4),
+        }
+
+    # Matmul-FLOPs MFU (lower bound; attention matmuls excluded).
+    n_llm = count_matmul_params(params["core"]["llm"])
+    n_clip = count_matmul_params(params["core"]["vision"])
+    n_sam = count_matmul_params(params["sam"]["image_encoder"])
+    clip_tokens = cfg.core.vision.num_patches + 1
+    sam_tokens = (cfg.sam.vision.img_size // cfg.sam.vision.patch_size) ** 2
+    flops_per_img = 2 * (
+        n_llm * (prompt_len + max_new_tokens)
+        + n_clip * clip_tokens
+        + n_sam * sam_tokens
+    )
+    mfu = flops_per_img * (batch / dt) / V5E_BF16_PEAK
+    return batch / dt, {"mfu": round(mfu, 4), "phase_split": phase}
 
 
 def run_stage2(batch: int, steps: int, seq: int = 512):
@@ -369,7 +431,7 @@ def run_stage2(batch: int, steps: int, seq: int = 512):
 
 
 def main():
-    preset = os.environ.get("BENCH_PRESET", "7b")
+    preset = os.environ.get("BENCH_PRESET", "res")
     if preset == "stage2":
         steps = int(os.environ.get("BENCH_STEPS", "3"))
         batches = (
@@ -402,19 +464,45 @@ def main():
         last_err = None
         for b in batches:
             try:
-                ips = run_res(b, steps)
-                print(json.dumps({
-                    "metric": (
-                        "RES serving pipeline (SAM ViT-H + CLIP ViT-L + 7B "
-                        f"prefill + 32-tok decode + mask decode, int8 weights, bsz {b})"
-                    ),
-                    "value": round(ips, 3),
-                    "unit": "images/sec/chip",
-                    "vs_baseline": round(ips / A100_BASELINE, 3),
-                }))
-                return
+                ips, details = run_res(b, steps)
             except Exception as e:
                 last_err = e
+                continue
+            record = {
+                "metric": (
+                    "RefCOCO RES serving images/sec/chip (SAM ViT-H encode "
+                    "+ CLIP ViT-L + 7B prefill + 32-tok decode + [SEG] "
+                    f"readout + SAM mask decode, int8 weights, bsz {b})"
+                ),
+                "value": round(ips, 3),
+                "unit": "images/sec/chip",
+                # Only per-chip reference point the upstream publishes is
+                # its stage-1 A100 figure; north star is 5x it.
+                "vs_baseline": round(ips / A100_BASELINE, 3),
+                **details,
+            }
+            if os.environ.get("BENCH_SECONDARY", "1") == "1":
+                import gc
+
+                import jax
+
+                gc.collect()
+                jax.clear_caches()
+                try:
+                    ips1 = run("7b", 8, 384, 3)
+                    record["secondary"] = {
+                        "metric": (
+                            "stage1 pretrain throughput (CLIP ViT-L + proj "
+                            "+ LLaMA-7B fwd/bwd, bf16, bsz 8, seq 384)"
+                        ),
+                        "value": round(ips1, 3),
+                        "unit": "images/sec/chip",
+                        "vs_baseline": round(ips1 / A100_BASELINE, 3),
+                    }
+                except Exception as e:
+                    record["secondary"] = {"error": str(e)[-300:]}
+            print(json.dumps(record))
+            return
         raise SystemExit(f"res bench failed: {last_err}")
     seq = int(os.environ.get("BENCH_SEQ", "384" if preset == "7b" else "32"))
     steps = int(os.environ.get("BENCH_STEPS", "5"))

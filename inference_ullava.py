@@ -66,7 +66,8 @@ def run_once(cfg, image_path, query, temperature=0.2, top_p=None,
     out = ullava.evaluate(
         params, u_cfg,
         GenerateConfig(max_new_tokens=max_new_tokens, temperature=temperature,
-                       top_p=top_p, stop_token_ids=stops),
+                       top_p=top_p, stop_token_ids=stops,
+                       vocab_size=len(tokenizer)),
         input_ids=jnp.asarray(ids[None]),
         prompt_lens=jnp.asarray([len(ids)], np.int32),
         images=jnp.asarray(image_clip[None]),

@@ -73,7 +73,7 @@ class CoreChat:
         stops = keyword_stop_ids(self.tokenizer, [conv.sep2 or conv.sep])
         gen = gen_mod.GenerateConfig(
             max_new_tokens=max_new_tokens, temperature=temperature, top_p=top_p,
-            stop_token_ids=stops,
+            stop_token_ids=stops, vocab_size=len(self.tokenizer),
         )
         out = gen_mod.generate(
             self.params, self.core_cfg, gen,

@@ -209,3 +209,43 @@ def test_lora_merge_on_quantized_base():
         prompt_lens=jnp.asarray([6], jnp.int32),
     )
     assert int(out["lengths"][0]) == 9
+
+
+def test_pad_vocab_to_multiple_serving_parity():
+    """Lane-aligned vocab padding (VERDICT r1 #8): greedy generation is
+    identical with a 128-padded vocabulary once GenerateConfig.vocab_size
+    masks the pad logits."""
+    from ullava_tpu.models import generate as gen_mod, ullava_core
+    from ullava_tpu.models.tools import pad_vocab_to_multiple
+
+    cfg = ullava_core.UllavaCoreConfig.tiny()  # vocab 512 (already aligned)
+    params = ullava_core.init_params(jax.random.PRNGKey(0), cfg)
+    # Grow to an unaligned vocab like the real 32007-token stage-2 model.
+    from ullava_tpu.models.tools import resize_token_embeddings
+
+    params["llm"] = resize_token_embeddings(params["llm"], 519)
+    ids = jnp.asarray(np.arange(6, dtype=np.int32)[None] + 4)
+    lens = jnp.asarray([6], jnp.int32)
+    gen = gen_mod.GenerateConfig(max_new_tokens=5, temperature=0.0)
+    ref = gen_mod.generate(params, cfg, gen, input_ids=ids, prompt_lens=lens)
+
+    padded, real_vocab = pad_vocab_to_multiple(params["llm"], 128)
+    assert padded["embed_tokens"].shape[0] == 640 and real_vocab == 519
+    gen_p = gen_mod.GenerateConfig(
+        max_new_tokens=5, temperature=0.0, vocab_size=real_vocab
+    )
+    out = gen_mod.generate(
+        {**params, "llm": padded}, cfg, gen_p, input_ids=ids, prompt_lens=lens
+    )
+    np.testing.assert_array_equal(
+        np.asarray(ref["sequences"]), np.asarray(out["sequences"])
+    )
+    assert int(np.asarray(out["sequences"]).max()) < real_vocab
+
+    # quantized lm_head pads too
+    from ullava_tpu.ops import quant
+
+    qllm = dict(padded)
+    qllm["lm_head"] = quant.quantize_int8(params["llm"]["lm_head"])
+    qpad, rv = pad_vocab_to_multiple({**params["llm"], "lm_head": qllm["lm_head"]}, 128)
+    assert qpad["lm_head"]["q"].shape[1] == 640 and rv == 519

@@ -21,14 +21,17 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def timed(fn, *args, iters=3):
     import jax
 
-    out = fn(*args)
-    jax.block_until_ready(out)
+    def fence(o):
+        # block_until_ready is not a reliable fence through the TPU
+        # tunnel; a host scalar fetch is.
+        jax.block_until_ready(o)
+        return float(jax.tree_util.tree_leaves(o)[0].reshape(-1)[0])
+
+    fence(fn(*args))  # warmup + compile, fully drained
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
-    jax.block_until_ready(out)
-    leaves = jax.tree_util.tree_leaves(out)
-    _ = float(leaves[0].reshape(-1)[0])  # host fence (tunnel-safe)
+    fence(out)
     return (time.perf_counter() - t0) / iters
 
 

@@ -166,6 +166,16 @@ def build_ullava_core(
         from ullava_tpu.training.checkpoint import restore_checkpoint
 
         params = restore_checkpoint(core_ckpt, params)
+
+    # Serving-side MXU alignment: model.pad_vocab_multiple (e.g. 128)
+    # zero-pads the resized (32007-token) tables; the real vocabulary is
+    # cfg.llm.vocab_size / len(tokenizer) and callers thread it into
+    # GenerateConfig.vocab_size to mask pad logits.
+    pad_mult = int(model_cfg.get("pad_vocab_multiple", 0) or 0)
+    if pad_mult > 1:
+        from ullava_tpu.models.tools import pad_vocab_to_multiple
+
+        params["llm"], _ = pad_vocab_to_multiple(params["llm"], pad_mult)
     return cfg, params
 
 
@@ -259,6 +269,14 @@ def build_ullava(
         ))
         params["core"]["llm"] = llama.add_lora(
             params["core"]["llm"], cfg.core.llm, jax.random.fold_in(rng, 7), r=lora_r
+        )
+
+    pad_mult = int(model_cfg.get("pad_vocab_multiple", 0) or 0)
+    if pad_mult > 1:
+        from ullava_tpu.models.tools import pad_vocab_to_multiple
+
+        params["core"]["llm"], _ = pad_vocab_to_multiple(
+            params["core"]["llm"], pad_mult
         )
     return cfg, params
 

@@ -82,6 +82,48 @@ def multi_modal_resize_token_embedding(
     return params, ids
 
 
+def pad_vocab_to_multiple(
+    llm_params: Dict[str, Any], multiple: int = 128
+) -> Tuple[Dict[str, Any], int]:
+    """Zero-pad embed_tokens rows / lm_head cols up to a lane-aligned
+    vocabulary (serving-side MXU alignment: the resized 32007-token tables
+    tile poorly on [8, 128] registers). Returns (params, real_vocab);
+    thread real_vocab into `GenerateConfig.vocab_size` so argmax/sampling
+    masks the pad logits — pad ids can then never be emitted. Training
+    keeps the exact vocabulary (pad columns would perturb the CE
+    partition function)."""
+    emb = llm_params["embed_tokens"]
+    real_vocab = emb.shape[0]
+    padded = ((real_vocab + multiple - 1) // multiple) * multiple
+    n_new = padded - real_vocab
+    if n_new == 0:
+        return dict(llm_params), real_vocab
+    out = dict(llm_params)
+    out["embed_tokens"] = jnp.concatenate(
+        [emb, jnp.zeros((n_new, emb.shape[1]), emb.dtype)], axis=0
+    )
+    head = llm_params["lm_head"]
+    from ullava_tpu.ops.quant import is_quantized
+
+    if is_quantized(head):
+        out["lm_head"] = {
+            "q": jnp.concatenate(
+                [head["q"], jnp.zeros((head["q"].shape[0], n_new), head["q"].dtype)],
+                axis=1,
+            ),
+            "scale": jnp.concatenate(
+                [head["scale"],
+                 jnp.ones(head["scale"].shape[:-1] + (n_new,), head["scale"].dtype)],
+                axis=-1,
+            ),
+        }
+    else:
+        out["lm_head"] = jnp.concatenate(
+            [head, jnp.zeros((head.shape[0], n_new), head.dtype)], axis=1
+        )
+    return out, real_vocab
+
+
 def keyword_stop_ids(tokenizer, keywords: Sequence[str]) -> Tuple[int, ...]:
     """Keywords -> single-token ids for token-level stopping. Multi-token
     keywords stop on their final token (the practical equivalent of the

@@ -62,6 +62,7 @@ class Chat:
                 max_new_tokens=max_new_tokens, temperature=temperature,
                 top_p=top_p,
                 stop_token_ids=keyword_stop_ids(self.tokenizer, [conv.sep2 or conv.sep]),
+                vocab_size=len(self.tokenizer),
             ),
             input_ids=jnp.asarray(ids[None]),
             prompt_lens=jnp.asarray([len(ids)], np.int32),
