@@ -70,11 +70,21 @@ class DataLoader:
         return idx[self.process_index :: self.process_count]
 
     def __iter__(self) -> Iterator:
+        return self.iter_from(0)
+
+    def iter_from(self, start_batch: int) -> Iterator:
+        """Iterate this epoch starting at batch index `start_batch`.
+
+        Resume fast-forward is index arithmetic: earlier batches are never
+        fetched or decoded (replaying 595K samples of host-side image
+        decode just to skip them is the failure mode this avoids). The
+        epoch permutation is seeded, so batch `i` is identical to what a
+        full iteration would have produced."""
         idx = self._indices()
         n_batches = len(self)
         batches = [
             idx[i * self.batch_size : (i + 1) * self.batch_size]
-            for i in range(n_batches)
+            for i in range(int(start_batch), n_batches)
         ]
         out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()

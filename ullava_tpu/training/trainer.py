@@ -65,14 +65,24 @@ class Trainer:
                 start_step = int(np.asarray(self.state.step))
 
         steps_per_epoch = len(self.loader)
-        global_step = 0
+        # Resume fast-forward by index arithmetic: whole epochs before the
+        # resume point are skipped outright; the resume epoch starts at its
+        # batch offset (the seeded permutation makes batch i reproducible),
+        # so no pre-resume sample is ever fetched or decoded.
+        resume_epoch = min(start_step // steps_per_epoch, epochs) if steps_per_epoch else 0
+        global_step = resume_epoch * steps_per_epoch
         t_last = time.perf_counter()
-        for epoch in range(epochs):
+        for epoch in range(resume_epoch, epochs):
             self.loader.set_epoch(epoch)
-            for batch in self.loader:
-                if global_step < start_step:
-                    global_step += 1  # fast-forward (data order is seeded)
-                    continue
+            start_batch = start_step - global_step if global_step < start_step else 0
+            global_step += start_batch
+            if hasattr(self.loader, "iter_from"):
+                epoch_iter = self.loader.iter_from(start_batch)
+            else:  # plain iterables: skip by draining (test/toy loaders)
+                epoch_iter = iter(self.loader)
+                for _ in range(start_batch):
+                    next(epoch_iter)
+            for batch in epoch_iter:
                 if self.mesh is not None:
                     batch = shard_batch(batch, self.mesh)
                 self.state, metrics = self.step_fn(self.state, batch)
