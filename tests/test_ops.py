@@ -159,3 +159,33 @@ def test_flash_bwd_kernels_match_xla_grads(lens):
     g2 = jax.grad(loss("xla"), argnums=(0, 1, 2))(q, k, v)
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-3, rtol=1e-3)
+
+
+def test_fused_mlp_block_matches_xla_interpret():
+    """Fused LN+fc1+gelu+fc2+residual kernel == the unfused XLA ops on a
+    quantized MLP (serving path for the frozen SAM tower)."""
+    from ullava_tpu.ops.mlp_kernel import fused_mlp_block
+    from ullava_tpu.ops.norms import layer_norm
+    from ullava_tpu.ops.quant import apply_linear, quantize_int8
+
+    rng = np.random.default_rng(0)
+    T, C, F = 1024, 256, 1024
+    x = jnp.asarray(rng.standard_normal((T, C)), jnp.float32)
+    w1 = quantize_int8(jnp.asarray(rng.standard_normal((C, F)) * 0.05, jnp.float32))
+    w2 = quantize_int8(jnp.asarray(rng.standard_normal((F, C)) * 0.05, jnp.float32))
+    b1 = jnp.asarray(rng.standard_normal(F) * 0.1, jnp.float32)
+    b2 = jnp.asarray(rng.standard_normal(C) * 0.1, jnp.float32)
+    ln_s = jnp.asarray(1 + 0.1 * rng.standard_normal(C), jnp.float32)
+    ln_b = jnp.asarray(0.1 * rng.standard_normal(C), jnp.float32)
+
+    y = layer_norm(x, ln_s, ln_b, 1e-6)
+    y = jax.nn.gelu(apply_linear(y, w1) + b1, approximate=False)
+    ref = x + apply_linear(y, w2) + b2
+
+    out = fused_mlp_block(
+        x, ln_s, ln_b, w1["q"], w1["scale"], b1, w2["q"], w2["scale"], b2,
+        1e-6, block_t=256, f_chunk=512, interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=0, atol=2e-4
+    )

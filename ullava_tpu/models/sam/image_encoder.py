@@ -239,6 +239,31 @@ def _block(x: jax.Array, p: Params, cfg: SamVisionConfig, window: bool) -> jax.A
         x = _attn(x, p, cfg, gh)
 
     x = shortcut + x
+
+    # Fused MLP kernel (LN2+fc1+gelu+fc2+residual in one VMEM pass) on the
+    # serving path: frozen int8 towers, TPU, tile-aligned token count.
+    from ullava_tpu.ops.quant import is_quantized
+
+    T = B * gh * gw
+    if (
+        _use_pallas(cfg, gh)
+        and is_quantized(p["fc1"])
+        and is_quantized(p["fc2"])
+        and T % 512 == 0
+        and p["fc1"]["q"].shape[1] % 512 == 0
+    ):
+        from ullava_tpu.ops.mlp_kernel import fused_mlp_block
+
+        out = fused_mlp_block(
+            x.reshape(T, C),
+            p["ln2_scale"], p["ln2_bias"],
+            p["fc1"]["q"], p["fc1"]["scale"], p["fc1_bias"],
+            p["fc2"]["q"], p["fc2"]["scale"], p["fc2_bias"],
+            cfg.layer_norm_eps,
+            interpret=(cfg.attn_kernel == "pallas_interpret"),
+        )
+        return out.reshape(B, gh, gw, C)
+
     y = layer_norm(x, p["ln2_scale"], p["ln2_bias"], cfg.layer_norm_eps)
     y = jax.nn.gelu(apply_linear(y, p["fc1"]) + p["fc1_bias"], approximate=False)
     return x + (apply_linear(y, p["fc2"]) + p["fc2_bias"])

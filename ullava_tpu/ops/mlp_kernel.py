@@ -1,0 +1,144 @@
+"""Fused transformer-MLP Pallas kernel for the frozen SAM/CLIP towers.
+
+Replaces the XLA lowering of `x + fc2(gelu(fc1(LN(x))))` on the serving
+path (reference computation: `/root/reference/models/segment_anything/
+modeling/image_encoder.py` Block.mlp + MLPBlock). The XLA version runs as
+several fusions with real HBM round-trips: the [T, F] GELU intermediate
+(F = 4C = 5120 for ViT-H) is written and re-read (~800 MB at the B=16
+serving point), the LayerNorm materializes fp32 temporaries, and the two
+dots carry batched-window shapes with poor MXU tiling. This kernel does
+LN -> fc1 -> GELU -> fc2 -> +residual in one pass:
+
+- grid (token tiles, F chunks); the F-chunk loop accumulates fc2 partial
+  sums in a VMEM fp32 scratch, so the GELU intermediate never leaves VMEM;
+- int8 weights stream chunk-by-chunk and dequantize in VMEM (per-output-
+  channel scales, matching `ops/quant.quantize_int8`);
+- LN statistics in fp32 (same recipe as `ops/norms.layer_norm`), computed
+  once per token tile on the first F chunk;
+- forward-only: the towers it serves are frozen in every training stage.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _erf(x: jax.Array) -> jax.Array:
+    """Abramowitz & Stegun 7.1.26 rational erf (|err| <= 1.5e-7): Mosaic
+    has no erf/erfc lowering, and 1.5e-7 absolute is far below the bf16
+    output resolution, so exact-GELU parity with the XLA path holds."""
+    s = jnp.sign(x)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + 0.3275911 * ax)
+    poly = t * (
+        0.254829592
+        + t * (-0.284496736 + t * (1.421413741 + t * (-1.453152027 + t * 1.061405429)))
+    )
+    return s * (1.0 - poly * jnp.exp(-ax * ax))
+
+
+def _gelu_exact(x: jax.Array) -> jax.Array:
+    return 0.5 * x * (1.0 + _erf(x * (2.0**-0.5)))
+
+
+def _kernel(
+    x_ref, ln_s_ref, ln_b_ref,
+    w1_ref, s1_ref, b1_ref,
+    w2_ref, s2_ref, b2_ref,
+    o_ref,
+    xn_ref, acc_ref,
+    *, eps: float, n_chunks: int,
+):
+    k = pl.program_id(1)
+
+    @pl.when(k == 0)
+    def _prologue():
+        xf = x_ref[...].astype(jnp.float32)
+        mean = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.var(xf, axis=-1, keepdims=True)
+        normed = (xf - mean) * jax.lax.rsqrt(var + eps)
+        normed = normed * ln_s_ref[...].astype(jnp.float32) + ln_b_ref[...].astype(
+            jnp.float32
+        )
+        xn_ref[...] = normed.astype(xn_ref.dtype)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    xn = xn_ref[...]
+    w1 = w1_ref[...].astype(xn.dtype)  # int8 -> bf16 in VMEM
+    h = jax.lax.dot_general(
+        xn, w1, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    h = h * s1_ref[...] + b1_ref[...].astype(jnp.float32)
+    h = _gelu_exact(h)  # exact-GELU parity with the reference (see _erf)
+    w2 = w2_ref[...].astype(xn.dtype)
+    acc_ref[...] += jax.lax.dot_general(
+        h.astype(xn.dtype), w2, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * s2_ref[...]
+
+    @pl.when(k == n_chunks - 1)
+    def _epilogue():
+        out = acc_ref[...] + b2_ref[...].astype(jnp.float32)
+        o_ref[...] = (out + x_ref[...].astype(jnp.float32)).astype(o_ref.dtype)
+
+
+def fused_mlp_block(
+    x: jax.Array,  # [T, C] residual-stream input (bf16)
+    ln_scale: jax.Array,  # [C]
+    ln_bias: jax.Array,  # [C]
+    w1_q: jax.Array,  # [C, F] int8
+    w1_scale: jax.Array,  # [1, F] f32
+    b1: jax.Array,  # [F]
+    w2_q: jax.Array,  # [F, C] int8
+    w2_scale: jax.Array,  # [1, C] f32
+    b2: jax.Array,  # [C]
+    eps: float,
+    block_t: int = 512,
+    f_chunk: int = 512,
+    interpret: bool = False,
+) -> jax.Array:
+    """x + fc2(gelu(fc1(LN(x)))), one fused pass. T % block_t == 0 and
+    F % f_chunk == 0 are required (serving shapes satisfy both; callers
+    fall back to the XLA path otherwise)."""
+    T, C = x.shape
+    F = w1_q.shape[1]
+    assert T % block_t == 0 and F % f_chunk == 0, (T, F)
+    n_chunks = F // f_chunk
+    kernel = functools.partial(_kernel, eps=eps, n_chunks=n_chunks)
+
+    grid = (T // block_t, n_chunks)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_t, C), lambda i, k: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), lambda i, k: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), lambda i, k: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, f_chunk), lambda i, k: (0, k), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, f_chunk), lambda i, k: (0, k), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, f_chunk), lambda i, k: (0, k), memory_space=pltpu.VMEM),
+            pl.BlockSpec((f_chunk, C), lambda i, k: (k, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), lambda i, k: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), lambda i, k: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (block_t, C), lambda i, k: (i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((T, C), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_t, C), x.dtype),
+            pltpu.VMEM((block_t, C), jnp.float32),
+        ],
+        interpret=interpret,
+    )(
+        x,
+        ln_scale.reshape(1, C), ln_bias.reshape(1, C),
+        w1_q, w1_scale.reshape(1, F).astype(jnp.float32), b1.reshape(1, F),
+        w2_q, w2_scale.reshape(1, C).astype(jnp.float32), b2.reshape(1, C),
+    )
+    return out

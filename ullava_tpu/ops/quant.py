@@ -45,14 +45,31 @@ def is_quantized(leaf: Any) -> bool:
     return isinstance(leaf, dict) and "q" in leaf and "scale" in leaf
 
 
+def _sublane(dtype) -> int:
+    return {1: 32, 2: 16}.get(jnp.dtype(dtype).itemsize, 8)
+
+
 def apply_linear(x: jax.Array, w: MaybeQuant) -> jax.Array:
-    """x @ w with transparent int8 dequant (scale folded post-matmul)."""
-    if not is_quantized(w):
-        return x @ w
-    y = jnp.matmul(x, w["q"].astype(x.dtype))
-    return (y.astype(jnp.float32) * w["scale"].reshape((1,) * (y.ndim - 1) + (-1,))).astype(
-        x.dtype
-    )
+    """x @ w with transparent int8 dequant (scale folded post-matmul).
+
+    When every merged-in leading dim is sublane-tile aligned, leading dims
+    are flattened so the dot is a plain 2-D matmul — XLA keeps >2-D dots
+    batched (e.g. [16,64,64,1280]@[1280,5120] runs as 1024 M=64 matmuls
+    with poor MXU window bounds; measured ~2x slower on v5e than the flat
+    form). Non-aligned merges (e.g. [400,196,1280], 196 % 16 != 0) would
+    force a real relayout copy of the activations, so those stay batched."""
+    lead = x.shape[:-1]
+    flat = len(lead) > 1 and all(d % _sublane(x.dtype) == 0 for d in x.shape[1:-1])
+    xin = x.reshape(-1, x.shape[-1]) if flat else x
+    if is_quantized(w):
+        y = jnp.matmul(xin, w["q"].astype(x.dtype))
+        y = (
+            y.astype(jnp.float32)
+            * w["scale"].reshape((1,) * (y.ndim - 1) + (-1,))
+        ).astype(x.dtype)
+    else:
+        y = xin @ w
+    return y.reshape(*lead, y.shape[-1]) if flat else y
 
 
 def quantize_tree(params: Any, key_names: Sequence[str]) -> Any:
