@@ -171,8 +171,18 @@ def build_res(batch: int):
         img_start_id=32001, img_end_id=32002,
         vid_start_id=32004, vid_end_id=32005,
     )
+    import dataclasses
+
+    sam_cfg = sam_build.sam_vit_h(dtype=jnp.bfloat16)
+    # Serving defaults: int8 x int8 fused-MLP dots (BENCH_W8A8=0 for
+    # weight-only) and head-major packed attention weights (BENCH_PACKED=0
+    # for the transpose-based layout).
+    if os.environ.get("BENCH_W8A8", "1") == "1":
+        sam_cfg = dataclasses.replace(
+            sam_cfg, vision=dataclasses.replace(sam_cfg.vision, mlp_w8a8=True)
+        )
     cfg = ullava.UllavaConfig(
-        core=core, sam=sam_build.sam_vit_h(dtype=jnp.bfloat16),
+        core=core, sam=sam_cfg,
         seg_token_idx=32007, loc_token_idx=32008,
     )
     shapes = jax.eval_shape(lambda k: ullava.init_params(k, cfg), jax.random.PRNGKey(0))
@@ -228,6 +238,15 @@ def build_res(batch: int):
         "det_projector": build_tree(shapes["det_projector"], ()),
         "det_decoder": build_tree(shapes["det_decoder"], ()),
     }
+    # Off by default: measured net-negative on v5e (the removed head-split/
+    # transpose copies are cheaper than the +60% qkv/proj FLOPs the 80->128
+    # lane padding costs). Kept as an experiment knob with parity tests.
+    if os.environ.get("BENCH_PACKED", "0") == "1":
+        from ullava_tpu.models.sam.image_encoder import pack_sam_attention
+
+        params["sam"]["image_encoder"] = pack_sam_attention(
+            params["sam"]["image_encoder"], cfg.sam.vision
+        )
     return cfg, params
 
 

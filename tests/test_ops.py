@@ -189,3 +189,34 @@ def test_fused_mlp_block_matches_xla_interpret():
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(ref), rtol=0, atol=2e-4
     )
+
+
+def test_fused_mlp_block_w8a8_close():
+    """int8-activation mode: per-row dynamic quantization keeps the fused
+    MLP within ~1% relative of the weight-only-int8 XLA computation."""
+    from ullava_tpu.ops.mlp_kernel import fused_mlp_block
+    from ullava_tpu.ops.norms import layer_norm
+    from ullava_tpu.ops.quant import apply_linear, quantize_int8
+
+    rng = np.random.default_rng(1)
+    T, C, F = 512, 256, 1024
+    x = jnp.asarray(rng.standard_normal((T, C)), jnp.float32)
+    w1 = quantize_int8(jnp.asarray(rng.standard_normal((C, F)) * 0.05, jnp.float32))
+    w2 = quantize_int8(jnp.asarray(rng.standard_normal((F, C)) * 0.05, jnp.float32))
+    b1 = jnp.asarray(rng.standard_normal(F) * 0.1, jnp.float32)
+    b2 = jnp.asarray(rng.standard_normal(C) * 0.1, jnp.float32)
+    ln_s = jnp.asarray(1 + 0.1 * rng.standard_normal(C), jnp.float32)
+    ln_b = jnp.asarray(0.1 * rng.standard_normal(C), jnp.float32)
+
+    y = layer_norm(x, ln_s, ln_b, 1e-6)
+    y = jax.nn.gelu(apply_linear(y, w1) + b1, approximate=False)
+    ref = np.asarray(x + apply_linear(y, w2) + b2)
+
+    out = np.asarray(fused_mlp_block(
+        x, ln_s, ln_b, w1["q"], w1["scale"], b1, w2["q"], w2["scale"], b2,
+        1e-6, block_t=256, f_chunk=512, w8a8=True, interpret=True,
+    ))
+    err = np.abs(out - ref)
+    scale = np.abs(ref).max()
+    assert err.max() / scale < 0.02, (err.max(), scale)
+    assert err.mean() / scale < 0.002, (err.mean(), scale)

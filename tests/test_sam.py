@@ -294,3 +294,71 @@ def test_pallas_global_attention_tiled_parity():
         window=W, scale=hd**-0.5, block_q=128, block_k=128, interpret=True,
     ).reshape(B, H, S, hd).transpose(0, 2, 1, 3)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=3e-4, rtol=3e-4)
+
+
+def test_packed_attention_weights_match_unpacked():
+    """pack_sam_attention (head-major, 128-lane-padded qkv/proj) must be a
+    pure relayout: encode output identical to the unpacked XLA path."""
+    import dataclasses
+
+    from ullava_tpu.models.sam import image_encoder as ie
+    from ullava_tpu.ops import quant
+
+    cfg = ie.SamVisionConfig(
+        img_size=64, patch_size=16, embed_dim=64, depth=2, num_heads=4,
+        out_chans=32, window_size=2, global_attn_indexes=(0, 1),
+        dtype=jnp.float32, attn_kernel="xla",
+    )
+    rng = jax.random.PRNGKey(3)
+    p = ie.init_params(rng, cfg)
+    for blocks in ("window_blocks", "global_blocks"):
+        for k in ("rel_pos_h", "rel_pos_w"):
+            p[blocks][k] = 0.2 * jax.random.normal(
+                jax.random.fold_in(rng, hash(blocks + k) % 1000),
+                p[blocks][k].shape, jnp.float32,
+            )
+    x = jax.random.normal(jax.random.PRNGKey(9), (2, 64, 64, 3), jnp.float32)
+    ref = ie.encode(p, cfg, x)
+
+    # pad head_dim 16 -> 32 to exercise the packed layout on CPU
+    packed = ie.pack_sam_attention(p, cfg, head_pad=32)
+    out = ie.encode(packed, cfg, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=0, atol=1e-5)
+
+    # quantized weights pack too
+    qp = dict(p)
+    qp["window_blocks"] = quant.quantize_tree(
+        p["window_blocks"], quant.SAM_ENCODER_QUANT_KEYS
+    )
+    qp["global_blocks"] = quant.quantize_tree(
+        p["global_blocks"], quant.SAM_ENCODER_QUANT_KEYS
+    )
+    ref_q = ie.encode(qp, cfg, x)
+    out_q = ie.encode(ie.pack_sam_attention(qp, cfg, head_pad=32), cfg, x)
+    np.testing.assert_allclose(np.asarray(out_q), np.asarray(ref_q), rtol=0, atol=1e-5)
+
+
+def test_packed_kernels_interpret_match_fallback():
+    """Packed Pallas kernels (interpret mode) == the packed XLA fallback."""
+    import dataclasses
+
+    from ullava_tpu.models.sam import image_encoder as ie
+
+    cfg = ie.SamVisionConfig(
+        img_size=64, patch_size=16, embed_dim=64, depth=2, num_heads=4,
+        out_chans=32, window_size=2, global_attn_indexes=(0, 1),
+        dtype=jnp.float32, attn_kernel="xla",
+    )
+    p = ie.init_params(jax.random.PRNGKey(3), cfg)
+    for blocks in ("window_blocks", "global_blocks"):
+        for k in ("rel_pos_h", "rel_pos_w"):
+            p[blocks][k] = 0.2 * jax.random.normal(
+                jax.random.PRNGKey(hash(blocks + k) % 1000),
+                p[blocks][k].shape, jnp.float32,
+            )
+    packed = ie.pack_sam_attention(p, cfg, head_pad=32)
+    x = jax.random.normal(jax.random.PRNGKey(9), (2, 64, 64, 3), jnp.float32)
+    ref = ie.encode(packed, cfg, x)
+    cfg_k = dataclasses.replace(cfg, attn_kernel="pallas_interpret")
+    out = ie.encode(packed, cfg_k, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=0, atol=1e-4)

@@ -54,6 +54,11 @@ class SamVisionConfig:
     # on TPU for window blocks (global blocks stay on XLA), 'xla' forces
     # the reference path, 'pallas'/'pallas_interpret' force the kernel.
     attn_kernel: str = "auto"
+    # Serving-only: run the fused-MLP kernel's dots int8 x int8 with
+    # per-row dynamic activation quantization (~1.6x MXU rate on v5e).
+    # Off by default: weight-only int8 is numerically strictly closer to
+    # the bf16 reference.
+    mlp_w8a8: bool = False
 
     @property
     def head_dim(self) -> int:
@@ -139,6 +144,65 @@ def init_params(rng: jax.Array, cfg: SamVisionConfig) -> Params:
     }
 
 
+def pack_sam_attention(enc: Params, cfg: SamVisionConfig, head_pad: int = 128) -> Params:
+    """Serving-time weight repack: reorder qkv/proj so each head's slice
+    is a zero-padded `head_pad`-lane block ([C, 3, H, hp] column order).
+    The packed Pallas kernels then read q/k/v of a head as one 128-aligned
+    lane block of the projection output — the per-block [B,S,3,H,hd]
+    reshape + head split + [B,H,S,hd] transpose HBM copies disappear.
+    Zero pads are exact (they never mix with real lanes). Detection is by
+    shape: qkv out width 3*H*hp instead of 3*H*hd."""
+    from ullava_tpu.ops.quant import is_quantized
+
+    H, hd, hp = cfg.num_heads, cfg.head_dim, head_pad
+    if hd >= hp:
+        return enc
+
+    def pad_cols(w, fill=0.0):
+        # [..., 3*H*hd] -> [..., 3, H, hd] -> pad -> [..., 3*H*hp]
+        lead = w.shape[:-1]
+        w = w.reshape(*lead, 3, H, hd)
+        pad = [(0, 0)] * (w.ndim - 1) + [(0, hp - hd)]
+        w = jnp.pad(w, pad, constant_values=fill)
+        return w.reshape(*lead, 3 * H * hp)
+
+    def pad_rows(w):
+        # [..., H*hd, C] -> [..., H, hd, C] -> pad -> [..., H*hp, C]
+        lead, C = w.shape[:-2], w.shape[-1]
+        w = w.reshape(*lead, H, hd, C)
+        pad = [(0, 0)] * (w.ndim - 2) + [(0, hp - hd), (0, 0)]
+        w = jnp.pad(w, pad)
+        return w.reshape(*lead, H * hp, C)
+
+    def pack_blocks(blk):
+        blk = dict(blk)
+        if is_quantized(blk["qkv"]):
+            blk["qkv"] = {
+                "q": pad_cols(blk["qkv"]["q"]),
+                "scale": pad_cols(blk["qkv"]["scale"], fill=1.0),
+            }
+        else:
+            blk["qkv"] = pad_cols(blk["qkv"])
+        blk["qkv_bias"] = pad_cols(blk["qkv_bias"])
+        if is_quantized(blk["proj"]):
+            blk["proj"] = {
+                "q": pad_rows(blk["proj"]["q"]),
+                "scale": blk["proj"]["scale"],
+            }
+        else:
+            blk["proj"] = pad_rows(blk["proj"])
+        # rel_pos lanes pad with zeros: q pad lanes are zero too, so the
+        # bias einsum is unchanged.
+        for k in ("rel_pos_h", "rel_pos_w"):
+            blk[k] = jnp.pad(blk[k], [(0, 0)] * (blk[k].ndim - 1) + [(0, hp - hd)])
+        return blk
+
+    out = dict(enc)
+    out["window_blocks"] = pack_blocks(enc["window_blocks"])
+    out["global_blocks"] = pack_blocks(enc["global_blocks"])
+    return out
+
+
 def rel_pos_bias(
     q: jax.Array,  # [B, H, qh, qw, hd]
     rel_pos_h: jax.Array,  # [2*size-1, hd]
@@ -174,8 +238,81 @@ def _use_pallas(cfg: SamVisionConfig, size: int) -> bool:
     return False
 
 
+def _bias_terms_packed(q_grid, rel_pos_h, rel_pos_w, size):
+    """[B, i, j, H, hp] queries -> ([B, H, S, W], [B, H, S, W]) bias terms
+    (head-second order: exactly what the packed kernels block on)."""
+    coords = jnp.arange(size)
+    rel = coords[:, None] - coords[None, :] + (size - 1)
+    RhG = rel_pos_h[rel].astype(jnp.float32)  # [i, a, hp]
+    RwG = rel_pos_w[rel].astype(jnp.float32)
+    qf = q_grid.astype(jnp.float32)
+    A = jnp.einsum("nijhc,iac->nhija", qf, RhG)
+    Bb = jnp.einsum("nijhc,jbc->nhijb", qf, RwG)
+    B, H = A.shape[0], A.shape[1]
+    S = size * size
+    return A.reshape(B, H, S, size), Bb.reshape(B, H, S, size)
+
+
+def _attn_packed(x: jax.Array, p: Params, cfg: SamVisionConfig, size: int) -> jax.Array:
+    """Attention with pre-packed head-major qkv/proj weights
+    (`pack_sam_attention`): per-head q/k/v are 128-aligned lane blocks of
+    one projection output, so no head-split/transpose copies exist."""
+    from ullava_tpu.ops.quant import is_quantized
+    from ullava_tpu.ops.sam_attention import (
+        fused_global_attention_packed,
+        fused_window_attention_packed,
+    )
+
+    B = x.shape[0]
+    C, H, hd = cfg.embed_dim, cfg.num_heads, cfg.head_dim
+    S = size * size
+    w = p["qkv"]["q"] if is_quantized(p["qkv"]) else p["qkv"]
+    hp = w.shape[-1] // (3 * H)
+    y = apply_linear(x.reshape(B, S, C), p["qkv"]) + p["qkv_bias"]  # [B,S,3*H*hp]
+
+    q4 = y.reshape(B, S, 3, H, hp)[:, :, 0]  # [B, S, H, hp] (lane split: free)
+    q_grid = q4.reshape(B, size, size, H, hp)
+    A, Bb = _bias_terms_packed(q_grid, p["rel_pos_h"], p["rel_pos_w"], size)
+    A = A.astype(y.dtype)
+    Bb = Bb.astype(y.dtype)
+
+    if _use_pallas(cfg, size):
+        interp = cfg.attn_kernel == "pallas_interpret"
+        fused = (
+            fused_window_attention_packed if size <= 16
+            else fused_global_attention_packed
+        )
+        out = fused(y, A, Bb, num_heads=H, head_pad=hp, window=size,
+                    scale=hd**-0.5, interpret=interp)  # [B, S, H*hp]
+    else:
+        # Unpacked fallback (CPU/tests): slice heads back out and run the
+        # XLA path with the expanded bias.
+        qkv = y.reshape(B, S, 3, H, hp)[..., :hd]
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        # A/Bb are [B,H,S,W]; expand to [B,H,S,S] with t = a*W + b.
+        bias = (
+            A.astype(jnp.float32)[..., :, None]
+            + Bb.astype(jnp.float32)[..., None, :]
+        ).reshape(B, H, S, S)
+        out = attention_xla(q, k, v, bias=bias, scale=hd**-0.5)
+        out = jnp.pad(
+            out.reshape(B, S, H, hd), ((0, 0), (0, 0), (0, 0), (0, hp - hd))
+        ).reshape(B, S, H * hp)
+    out = apply_linear(out, p["proj"]) + p["proj_bias"]
+    return out.reshape(B, size, size, C)
+
+
+def _is_packed(p: Params, cfg: SamVisionConfig) -> bool:
+    from ullava_tpu.ops.quant import is_quantized
+
+    w = p["qkv"]["q"] if is_quantized(p["qkv"]) else p["qkv"]
+    return w.shape[-1] != 3 * cfg.embed_dim
+
+
 def _attn(x: jax.Array, p: Params, cfg: SamVisionConfig, size: int) -> jax.Array:
     """Self-attention over an NHWC token grid [B, size, size, C]."""
+    if _is_packed(p, cfg):
+        return _attn_packed(x, p, cfg, size)
     B = x.shape[0]
     C, H, hd = cfg.embed_dim, cfg.num_heads, cfg.head_dim
     S = size * size
@@ -260,6 +397,7 @@ def _block(x: jax.Array, p: Params, cfg: SamVisionConfig, window: bool) -> jax.A
             p["fc1"]["q"], p["fc1"]["scale"], p["fc1_bias"],
             p["fc2"]["q"], p["fc2"]["scale"], p["fc2_bias"],
             cfg.layer_norm_eps,
+            w8a8=cfg.mlp_w8a8,
             interpret=(cfg.attn_kernel == "pallas_interpret"),
         )
         return out.reshape(B, gh, gw, C)

@@ -219,3 +219,199 @@ def decomposed_bias_terms(
     B, H = q_grid.shape[:2]
     S = window * window
     return A.reshape(B, H, S, window), Bb.reshape(B, H, S, window)
+
+
+# ---------------------------------------------------------------------------
+# Packed head-major layout (serving): qkv weights are pre-reordered to
+# [C, 3, H, hp] with the head dim zero-padded to hp=128 lanes
+# (`image_encoder.pack_sam_attention`). The kernels then read each head's
+# q/k/v directly as a 128-aligned lane block of the projection output —
+# no [B,S,3,H,hd] reshape, head split, or [B,H,S,hd] transpose copies ever
+# materialize in HBM (those copies were ~25% of SAM ViT-H encode time).
+# Zero pad lanes are exact: they contribute nothing to q.k contractions,
+# and pad columns of the attention output hit zero rows of the packed
+# projection weight.
+# ---------------------------------------------------------------------------
+
+
+def _packed_window_kernel(
+    q_ref, k_ref, v_ref, a_ref, b_ref, o_ref, *, scale: float, window: int
+):
+    # Blocks: q/k/v/o [NB, S, hp]; a/b [NB, 1, S, W].
+    q = q_ref[...]
+    k = k_ref[...]
+    v = v_ref[...]
+    A = a_ref[:, 0]
+    Bb = b_ref[:, 0]
+
+    s = jax.lax.dot_general(
+        q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    ) * scale
+
+    S = q.shape[1]
+    col_t = jax.lax.broadcasted_iota(jnp.int32, (window, S), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (window, S), 0)
+    eh = (col_t // window == row).astype(A.dtype)
+    ew = (col_t % window == row).astype(A.dtype)
+    s = s + jax.lax.dot_general(
+        A, eh, (((2,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    s = s + jax.lax.dot_general(
+        Bb, ew, (((2,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    p = p / jnp.sum(p, axis=-1, keepdims=True)
+    o_ref[...] = jax.lax.dot_general(
+        p.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ).astype(o_ref.dtype)
+
+
+def fused_window_attention_packed(
+    y: jax.Array,  # [N, S, 3*H*hp] packed qkv projection output
+    bias_a: jax.Array,  # [N, H, S, W]
+    bias_b: jax.Array,  # [N, H, S, W]
+    num_heads: int,
+    head_pad: int,
+    window: int,
+    scale: float,
+    n_block: int = 8,
+    interpret: bool = False,
+) -> jax.Array:
+    """Returns [N, S, H*hp] head-major attention output."""
+    N, S, _ = y.shape
+    H, hp = num_heads, head_pad
+    assert S == window * window
+    while n_block > 1 and N % n_block:
+        n_block //= 2
+    kernel = functools.partial(_packed_window_kernel, scale=scale, window=window)
+
+    def qkv_spec(part):  # part: 0=q 1=k 2=v; lane-block index = part*H + h
+        return pl.BlockSpec(
+            (n_block, S, hp), lambda n, h, p=part: (n, 0, p * H + h),
+            memory_space=pltpu.VMEM,
+        )
+
+    bias_spec = pl.BlockSpec(
+        (n_block, 1, S, window), lambda n, h: (n, h, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(N // n_block, H),
+        in_specs=[qkv_spec(0), qkv_spec(1), qkv_spec(2), bias_spec, bias_spec],
+        out_specs=pl.BlockSpec(
+            (n_block, S, hp), lambda n, h: (n, 0, h), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((N, S, H * hp), y.dtype),
+        interpret=interpret,
+    )(y, y, y, bias_a, bias_b)
+
+
+def _packed_global_kernel(
+    q_ref, k_ref, v_ref, a_ref, b_ref, o_ref,
+    m_ref, l_ref, acc_ref,
+    *, scale: float, window: int, block_k: int,
+):
+    ik = pl.program_id(3)
+    nk = pl.num_programs(3)
+
+    @pl.when(ik == 0)
+    def _init():
+        m_ref[...] = jnp.full_like(m_ref, -1e30)
+        l_ref[...] = jnp.zeros_like(l_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    A = a_ref[0, 0]
+    Bb = b_ref[0, 0]
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+
+    t = ik * block_k + jax.lax.broadcasted_iota(jnp.int32, (window, block_k), 1)
+    r = jax.lax.broadcasted_iota(jnp.int32, (window, block_k), 0)
+    eh = (t // window == r).astype(A.dtype)
+    ew = (t % window == r).astype(A.dtype)
+    s = s + jax.lax.dot_general(
+        A, eh, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    s = s + jax.lax.dot_general(
+        Bb, ew, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+    m_prev = m_ref[:, :1]
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+    p = jnp.exp(s - m_new)
+    alpha = jnp.exp(m_prev - m_new)
+    l_ref[...] = jnp.broadcast_to(
+        alpha * l_ref[:, :1] + jnp.sum(p, axis=-1, keepdims=True), l_ref.shape
+    )
+    acc_ref[...] = acc_ref[...] * alpha + jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    m_ref[...] = jnp.broadcast_to(m_new, m_ref.shape)
+
+    @pl.when(ik == nk - 1)
+    def _finalize():
+        o_ref[0] = (acc_ref[...] / l_ref[:, :1]).astype(o_ref.dtype)
+
+
+def fused_global_attention_packed(
+    y: jax.Array,  # [B, S, 3*H*hp]
+    bias_a: jax.Array,  # [B, H, S, W]
+    bias_b: jax.Array,  # [B, H, S, W]
+    num_heads: int,
+    head_pad: int,
+    window: int,
+    scale: float,
+    block_q: int = 1024,
+    block_k: int = 1024,
+    interpret: bool = False,
+) -> jax.Array:
+    B, S, _ = y.shape
+    H, hp = num_heads, head_pad
+    block_q = min(block_q, S)
+    block_k = min(block_k, S)
+    kernel = functools.partial(
+        _packed_global_kernel, scale=scale, window=window, block_k=block_k
+    )
+
+    def qkv_spec(part, blk):
+        if blk == "q":
+            return pl.BlockSpec(
+                (1, block_q, hp), lambda b, h, iq, ik, p=part: (b, iq, p * H + h),
+                memory_space=pltpu.VMEM,
+            )
+        return pl.BlockSpec(
+            (1, block_k, hp), lambda b, h, iq, ik, p=part: (b, ik, p * H + h),
+            memory_space=pltpu.VMEM,
+        )
+
+    bias_spec = pl.BlockSpec(
+        (1, 1, block_q, window), lambda b, h, iq, ik: (b, h, iq, 0),
+        memory_space=pltpu.VMEM,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(B, H, pl.cdiv(S, block_q), pl.cdiv(S, block_k)),
+        in_specs=[qkv_spec(0, "q"), qkv_spec(1, "k"), qkv_spec(2, "k"),
+                  bias_spec, bias_spec],
+        out_specs=pl.BlockSpec(
+            (1, block_q, hp), lambda b, h, iq, ik: (b, iq, h),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, S, H * hp), y.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, hp), jnp.float32),
+        ],
+        interpret=interpret,
+    )(y, y, y, bias_a, bias_b)
