@@ -165,7 +165,12 @@ def build_res(batch: int):
     from ullava_tpu.models.sam import build as sam_build
 
     core = ullava_core.UllavaCoreConfig(
-        llm=llama.LlamaConfig(dtype=jnp.bfloat16, remat=False),
+        llm=llama.LlamaConfig(
+            dtype=jnp.bfloat16, remat=False,
+            # W8A8 prefill (BENCH_LLM_A8=0 for weight-only): prefill is
+            # 68.6 TFLOP at B=16 and MXU-bound, so int8 dots are ~1.6x.
+            a8_prefill=os.environ.get("BENCH_LLM_A8", "1") == "1",
+        ),
         vision=clip_vit.CLIPVisionConfig(dtype=jnp.bfloat16),
         vision_hidden_layer=-2,
         img_start_id=32001, img_end_id=32002,

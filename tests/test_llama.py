@@ -164,3 +164,37 @@ def test_int8_llama_close_to_fp(tiny_pair):
     )
     denom = np.abs(np.asarray(ref)).mean()
     assert np.abs(np.asarray(got) - np.asarray(ref)).mean() / denom < 0.05
+
+
+def test_a8_prefill_close_to_weight_only(tiny_pair):
+    """W8A8 prefill (serving knob): per-row dynamic activation quant stays
+    close to the weight-only-int8 forward and leaves decode (S=1) on the
+    weight-only path bit-for-bit."""
+    import dataclasses
+
+    from ullava_tpu.ops import quant
+
+    _, cfg, params = tiny_pair
+    qp = dict(params)
+    qp["layers"] = quant.quantize_tree(params["layers"], quant.LLAMA_QUANT_KEYS)
+    qp["lm_head"] = quant.quantize_int8(params["lm_head"])
+
+    ids = jnp.asarray(np.arange(12, dtype=np.int32)[None])
+    ref = llama.forward(qp, cfg, input_ids=ids)["logits"]
+    cfg_a8 = dataclasses.replace(cfg, a8_prefill=True)
+    got = llama.forward(qp, cfg_a8, input_ids=ids)["logits"]
+    denom = np.abs(np.asarray(ref)).mean()
+    assert np.abs(np.asarray(got) - np.asarray(ref)).mean() / denom < 0.05
+
+    # decode step (S=1, cached) is untouched by the knob
+    cache = llama.init_kv_cache(cfg, 1, 16)
+    pre = llama.forward(qp, cfg, input_ids=ids, kv_lens=jnp.asarray([12]), kv_cache=cache, compute_logits=False)
+    step_ref = llama.forward(
+        qp, cfg, input_ids=jnp.asarray([[7]]), positions=jnp.asarray([[12]]),
+        kv_lens=jnp.asarray([13]), kv_cache=pre["kv_cache"], write_pos=jnp.asarray([12]),
+    )["logits"]
+    step_a8 = llama.forward(
+        qp, cfg_a8, input_ids=jnp.asarray([[7]]), positions=jnp.asarray([[12]]),
+        kv_lens=jnp.asarray([13]), kv_cache=pre["kv_cache"], write_pos=jnp.asarray([12]),
+    )["logits"]
+    np.testing.assert_array_equal(np.asarray(step_ref), np.asarray(step_a8))

@@ -52,6 +52,11 @@ class LlamaConfig:
     attn_impl: str = "auto"
     # LoRA scaling (alpha / r); active only when *_lora_a/b params exist.
     lora_scale: float = 2.0
+    # Serving-only: run prefill matmuls (S > 1) W8A8 when the weights are
+    # int8 — per-row dynamic activation quant + int8 x int8 MXU dots
+    # (~1.6x bf16 rate). Decode (S == 1) stays on the weight-only path:
+    # it is weight-read bound, so int8 activations buy nothing there.
+    a8_prefill: bool = False
 
     @property
     def head_dim(self) -> int:
@@ -129,8 +134,15 @@ def _layer(
 
     x = rms_norm(h, p["input_norm"], cfg.rms_norm_eps)
 
+    from ullava_tpu.ops.quant import apply_linear_a8, is_quantized
+
+    def lin(xin, w):
+        if cfg.a8_prefill and S > 1 and is_quantized(w):
+            return apply_linear_a8(xin, w)
+        return apply_linear(xin, w)
+
     def proj(name, heads):
-        y = apply_linear(x, p[name])
+        y = lin(x, p[name])
         if f"{name}_lora_a" in p:
             # LoRA (r=8, alpha=16 reference defaults): W + scale * A @ B.
             y = y + cfg.lora_scale * ((x @ p[f"{name}_lora_a"]) @ p[f"{name}_lora_b"])
@@ -175,11 +187,11 @@ def _layer(
     else:
         attn = attention(q, k, v, causal=causal, kv_lens=kv_lens, impl=attn_impl)
 
-    h = h + apply_linear(attn.reshape(B, S, H * hd), p["o_proj"])
+    h = h + lin(attn.reshape(B, S, H * hd), p["o_proj"])
 
     x = rms_norm(h, p["post_norm"], cfg.rms_norm_eps)
-    gated = jax.nn.silu(apply_linear(x, p["gate_proj"])) * apply_linear(x, p["up_proj"])
-    h = h + apply_linear(gated, p["down_proj"])
+    gated = jax.nn.silu(lin(x, p["gate_proj"])) * lin(x, p["up_proj"])
+    h = h + lin(gated, p["down_proj"])
     return h, cache_k, cache_v
 
 
