@@ -211,6 +211,40 @@ def test_tp_sharded_generation_matches_single_device():
     np.testing.assert_array_equal(np.asarray(out["lengths"]), np.asarray(ref["lengths"]))
 
 
+def test_tp_decode_body_has_no_large_collectives():
+    """Regression for the round-1 SPMD 'involuntary full rematerialization'
+    warning: the decode while-body must not all-gather any param-sized
+    tensor (a replicate-then-repartition of lm_head/hidden every decode
+    step). The only legal all-gathers are the tiny vocab-sharded argmax
+    combines (one element per tp shard)."""
+    import re
+
+    from ullava_tpu.models import generate as gen_mod
+
+    cfg = ullava_core.UllavaCoreConfig.tiny()
+    params = {"core": ullava_core.init_params(jax.random.PRNGKey(5), cfg)}
+    gen = gen_mod.GenerateConfig(max_new_tokens=4, temperature=0.0)
+    mesh = make_mesh(MeshConfig(dp=2, fsdp=1, tp=4))
+    sharded = shard_params(params, mesh)["core"]
+    fn = gen_mod.make_generate_fn(cfg, gen)
+    ids = jnp.asarray(
+        np.random.default_rng(7).integers(5, 100, size=(2, 10)), jnp.int32
+    )
+    lens = jnp.asarray([10, 7], jnp.int32)
+    hlo = fn.lower(sharded, ids, lens).compile().as_text()
+
+    big = []
+    for line in hlo.splitlines():
+        m = re.search(r"= \w+\[([\d,]*)\][^=]* all-gather\(", line)
+        if not m:
+            continue
+        dims = [int(d) for d in m.group(1).split(",") if d]
+        n = int(np.prod(dims)) if dims else 1
+        if n > 4096:  # argmax combines are [B, tp]; param gathers are >=1e5
+            big.append(line.strip()[:160])
+    assert not big, f"large all-gather(s) in compiled decode:\n" + "\n".join(big)
+
+
 def test_training_determinism():
     """Same seed + same data -> bitwise-identical loss trajectories
     (SURVEY §5.2: determinism is the TPU answer to race detection)."""
