@@ -195,7 +195,16 @@ def build_res(batch: int):
     # for the transpose-based layout).
     if os.environ.get("BENCH_W8A8", "1") == "1":
         sam_cfg = dataclasses.replace(
-            sam_cfg, vision=dataclasses.replace(sam_cfg.vision, mlp_w8a8=True)
+            sam_cfg,
+            vision=dataclasses.replace(
+                sam_cfg.vision,
+                mlp_w8a8=True,
+                # int8 activations for qkv/proj (BENCH_ATTN_A8=1). Default
+                # off: measured net-negative as a standalone XLA op (the
+                # unfused per-row quantize adds HBM passes worth more than
+                # the int8 MXU gain: 83.2 vs 78.5 ms/img encode at B=16).
+                attn_w8a8=os.environ.get("BENCH_ATTN_A8", "0") == "1",
+            ),
         )
     cfg = ullava.UllavaConfig(
         core=core, sam=sam_cfg,

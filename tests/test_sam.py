@@ -201,6 +201,30 @@ def test_int8_quantized_towers_close_to_fp(tiny_pair):
     assert np.abs(got - ref).mean() / denom < 0.1
 
 
+def test_attn_w8a8_encoder_close_to_weight_only():
+    """Serving knob: int8-activation attention projections stay close to
+    the weight-only int8 encoder output. Uses random init weights (the HF
+    tiny fixture's qkv weights are near-zero, which would make the two
+    paths trivially identical)."""
+    import dataclasses
+
+    from ullava_tpu.models.sam import image_encoder as ie
+    from ullava_tpu.ops import quant
+
+    cfg = ie.SamVisionConfig.tiny()
+    params = ie.init_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(3)
+    img = jnp.asarray(rng.standard_normal((1, 64, 64, 3)), jnp.float32)
+    qparams = quant.quantize_tree(params, quant.SAM_ENCODER_QUANT_KEYS)
+    ref = np.asarray(ie.encode(qparams, cfg, img))
+    got = np.asarray(
+        ie.encode(qparams, dataclasses.replace(cfg, attn_w8a8=True), img)
+    )
+    assert not np.array_equal(got, ref)  # the knob actually changed the path
+    denom = np.abs(ref).mean() + 1e-6
+    assert np.abs(got - ref).mean() / denom < 0.1
+
+
 def test_quant_roundtrip_exactness():
     from ullava_tpu.ops import quant
 

@@ -59,6 +59,9 @@ class SamVisionConfig:
     # Off by default: weight-only int8 is numerically strictly closer to
     # the bf16 reference.
     mlp_w8a8: bool = False
+    # Serving-only: same int8-activation treatment for the attention
+    # qkv/proj projections (~2 TFLOP/img otherwise running bf16-rate).
+    attn_w8a8: bool = False
 
     @property
     def head_dim(self) -> int:
@@ -268,7 +271,7 @@ def _attn_packed(x: jax.Array, p: Params, cfg: SamVisionConfig, size: int) -> ja
     S = size * size
     w = p["qkv"]["q"] if is_quantized(p["qkv"]) else p["qkv"]
     hp = w.shape[-1] // (3 * H)
-    y = apply_linear(x.reshape(B, S, C), p["qkv"]) + p["qkv_bias"]  # [B,S,3*H*hp]
+    y = _lin(cfg, x.reshape(B, S, C), p["qkv"]) + p["qkv_bias"]  # [B,S,3*H*hp]
 
     q4 = y.reshape(B, S, 3, H, hp)[:, :, 0]  # [B, S, H, hp] (lane split: free)
     q_grid = q4.reshape(B, size, size, H, hp)
@@ -298,7 +301,7 @@ def _attn_packed(x: jax.Array, p: Params, cfg: SamVisionConfig, size: int) -> ja
         out = jnp.pad(
             out.reshape(B, S, H, hd), ((0, 0), (0, 0), (0, 0), (0, hp - hd))
         ).reshape(B, S, H * hp)
-    out = apply_linear(out, p["proj"]) + p["proj_bias"]
+    out = _lin(cfg, out, p["proj"]) + p["proj_bias"]
     return out.reshape(B, size, size, C)
 
 
@@ -309,6 +312,14 @@ def _is_packed(p: Params, cfg: SamVisionConfig) -> bool:
     return w.shape[-1] != 3 * cfg.embed_dim
 
 
+def _lin(cfg: SamVisionConfig, x: jax.Array, w) -> jax.Array:
+    from ullava_tpu.ops.quant import apply_linear_a8, is_quantized
+
+    if cfg.attn_w8a8 and is_quantized(w):
+        return apply_linear_a8(x, w)
+    return apply_linear(x, w)
+
+
 def _attn(x: jax.Array, p: Params, cfg: SamVisionConfig, size: int) -> jax.Array:
     """Self-attention over an NHWC token grid [B, size, size, C]."""
     if _is_packed(p, cfg):
@@ -316,7 +327,7 @@ def _attn(x: jax.Array, p: Params, cfg: SamVisionConfig, size: int) -> jax.Array
     B = x.shape[0]
     C, H, hd = cfg.embed_dim, cfg.num_heads, cfg.head_dim
     S = size * size
-    qkv = (apply_linear(x.reshape(B, S, C), p["qkv"]) + p["qkv_bias"]).reshape(B, S, 3, H, hd)
+    qkv = (_lin(cfg, x.reshape(B, S, C), p["qkv"]) + p["qkv_bias"]).reshape(B, S, 3, H, hd)
     q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
 
     if _use_pallas(cfg, size):
@@ -350,7 +361,7 @@ def _attn(x: jax.Array, p: Params, cfg: SamVisionConfig, size: int) -> jax.Array
             # q; attention_xla applies scale to qk only, matching that.
             bias = rel_pos_bias(q_grid, p["rel_pos_h"], p["rel_pos_w"], size)
         out = attention_xla(q, k, v, bias=bias, scale=hd**-0.5)
-    out = apply_linear(out.reshape(B, S, C), p["proj"]) + p["proj_bias"]
+    out = _lin(cfg, out.reshape(B, S, C), p["proj"]) + p["proj_bias"]
     return out.reshape(B, size, size, C)
 
 

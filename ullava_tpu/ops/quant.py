@@ -55,13 +55,24 @@ def apply_linear_a8(x: jax.Array, w: QuantLeaf) -> jax.Array:
     act_scale x per-output-channel weight scale. Serving-only knob — the
     rounding error is larger than weight-only int8."""
     lead = x.shape[:-1]
-    xf = x.reshape(-1, x.shape[-1]).astype(jnp.float32)
+    # Same flattening rule as apply_linear: merge leading dims only when
+    # the merge is sublane-tile aligned (otherwise XLA inserts a relayout
+    # copy of the activations that costs more than the batched dot).
+    flat = len(lead) > 1 and all(d % _sublane(x.dtype) == 0 for d in x.shape[1:-1])
+    xin = x.reshape(-1, x.shape[-1]) if flat or len(lead) == 1 else x
+    xf = xin.astype(jnp.float32)
     amax = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1, keepdims=True), 1e-12)
     xq = jnp.round(xf * (127.0 / amax)).astype(jnp.int8)
+    ndim = xq.ndim
     y = jax.lax.dot_general(
-        xq, w["q"], (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+        xq, w["q"], (((ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
     )
-    y = y.astype(jnp.float32) * (amax * (1.0 / 127.0)) * w["scale"].reshape(1, -1)
+    y = (
+        y.astype(jnp.float32)
+        * (amax * (1.0 / 127.0))
+        * w["scale"].reshape((1,) * (y.ndim - 1) + (-1,))
+    )
     return y.astype(x.dtype).reshape(*lead, y.shape[-1])
 
 
