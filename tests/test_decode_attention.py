@@ -1,0 +1,97 @@
+"""int8 KV cache: kernel parity + decoder integration."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ullava_tpu.models import llama
+from ullava_tpu.ops.decode_attention import (
+    decode_attention_int8,
+    decode_attention_int8_xla,
+    quantize_kv_rows,
+)
+
+
+def _rand_case(rng, B=2, S=256, H=4, hd=128):
+    q = jnp.asarray(rng.standard_normal((B, 1, H, hd)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, S, H, hd)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, S, H, hd)), jnp.float32)
+    kq, ks = quantize_kv_rows(k)
+    vq, vs = quantize_kv_rows(v)
+    lens = jnp.asarray([S, S // 2 + 3], jnp.int32)
+    return q, kq, vq, ks, vs, lens
+
+
+def test_decode_kernel_matches_xla_reference():
+    rng = np.random.default_rng(0)
+    q, kq, vq, ks, vs, lens = _rand_case(rng)
+    scale = 128**-0.5
+    ref = decode_attention_int8_xla(q, kq, vq, ks, vs, lens, scale=scale)
+    got = decode_attention_int8(
+        q, kq, vq, ks, vs, lens, scale=scale, block_k=128, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+
+def test_decode_kernel_single_block():
+    rng = np.random.default_rng(1)
+    q, kq, vq, ks, vs, lens = _rand_case(rng, S=96)  # forces one odd block
+    scale = 128**-0.5
+    ref = decode_attention_int8_xla(q, kq, vq, ks, vs, lens, scale=scale)
+    got = decode_attention_int8(
+        q, kq, vq, ks, vs, lens, scale=scale, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+
+def test_quantize_kv_rows_roundtrip():
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal((3, 5, 4, 16)), jnp.float32)
+    q, s = quantize_kv_rows(x)
+    deq = np.asarray(q, np.float32) * np.asarray(s)[..., None]
+    err = np.abs(deq - np.asarray(x)).max()
+    assert err <= np.abs(np.asarray(x)).max() / 127 + 1e-6
+
+
+def test_llama_kv_quant_decode_close_to_bf16_cache():
+    """Full decoder forward: int8-cache decode steps stay numerically
+    close to the bf16-cache path on the same inputs."""
+    cfg = llama.LlamaConfig.tiny()
+    qcfg = dataclasses.replace(cfg, kv_quant=True)
+    params = llama.init_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(3)
+    B, S, total = 2, 8, 16
+    ids = jnp.asarray(rng.integers(5, 500, size=(B, S)), jnp.int32)
+    lens = jnp.asarray([S, S - 2], jnp.int32)
+
+    outs = {}
+    for name, c in (("bf16", cfg), ("int8", qcfg)):
+        cache = llama.init_kv_cache(c, B, total)
+        pre = llama.forward(
+            params, c, input_ids=ids, kv_lens=lens, kv_cache=cache,
+        )
+        # one decode step at each sample's own position
+        tok = jnp.asarray([[7], [9]], jnp.int32)
+        step = llama.forward(
+            params, c,
+            input_ids=tok,
+            positions=lens[:, None],
+            kv_lens=lens + 1,
+            kv_cache=pre["kv_cache"],
+            write_pos=lens,
+        )
+        outs[name] = (
+            np.asarray(pre["logits"]), np.asarray(step["logits"]),
+        )
+    for a, b in zip(outs["bf16"], outs["int8"]):
+        denom = np.abs(a).mean() + 1e-6
+        assert np.abs(a - b).mean() / denom < 0.05
+
+
+def test_kv_quant_cache_shapes():
+    cfg = dataclasses.replace(llama.LlamaConfig.tiny(), kv_quant=True)
+    cache = llama.init_kv_cache(cfg, 2, 32)
+    assert cache["k"].dtype == jnp.int8
+    assert cache["k_scale"].shape == (cfg.num_layers, 2, 32, cfg.num_kv_heads)

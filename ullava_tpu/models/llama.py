@@ -57,6 +57,12 @@ class LlamaConfig:
     # (~1.6x bf16 rate). Decode (S == 1) stays on the weight-only path:
     # it is weight-read bound, so int8 activations buy nothing there.
     a8_prefill: bool = False
+    # Serving-only: store the KV cache int8 with per-(position, head)
+    # scales. Halves the decode-step KV HBM reads (the other half of the
+    # weight-read roofline) and the multi-GB cache allocation; decode
+    # attention then runs the fused dequantizing kernel
+    # (`ops/decode_attention.py`).
+    kv_quant: bool = False
 
     @property
     def head_dim(self) -> int:
@@ -110,9 +116,23 @@ def init_params(rng: jax.Array, cfg: LlamaConfig) -> Params:
 def init_kv_cache(
     cfg: LlamaConfig, batch: int, max_len: int, dtype=None
 ) -> Dict[str, jax.Array]:
-    dtype = dtype or cfg.dtype
     shape = (cfg.num_layers, batch, max_len, cfg.num_kv_heads, cfg.head_dim)
+    if cfg.kv_quant:
+        return {
+            "k": jnp.zeros(shape, jnp.int8),
+            "v": jnp.zeros(shape, jnp.int8),
+            "k_scale": jnp.zeros(shape[:-1], jnp.float32),
+            "v_scale": jnp.zeros(shape[:-1], jnp.float32),
+        }
+    dtype = dtype or cfg.dtype
     return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except RuntimeError:
+        return False
 
 
 def _layer(
@@ -122,13 +142,12 @@ def _layer(
     cos: jax.Array,
     sin: jax.Array,
     kv_lens: Optional[jax.Array],
-    cache_k: Optional[jax.Array],  # FULL stacked cache [L, B, maxS, Hkv, hd]
-    cache_v: Optional[jax.Array],
+    cache: Optional[Dict[str, jax.Array]],  # FULL stacked cache [L, B, maxS, ...]
     layer_idx: Optional[jax.Array],  # [] scalar index into the stacked cache
     write_pos: Optional[jax.Array],  # [B] per-sample write index
     causal: bool,
     attn_impl: str,
-) -> Tuple[jax.Array, Optional[jax.Array], Optional[jax.Array]]:
+) -> Tuple[jax.Array, Optional[Dict[str, jax.Array]]]:
     B, S, D = h.shape
     H, Hkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
 
@@ -153,34 +172,75 @@ def _layer(
     v = proj("v_proj", Hkv)
     q, k = apply_rotary(q, k, cos, sin)
 
-    if cache_k is not None:
+    if cache is not None:
         # The FULL stacked cache is threaded through the layer scan as a
         # carry (not xs->ys): XLA aliases carry buffers in place, so a
         # decode step writes only the B scattered rows instead of copying
         # the whole multi-GB cache once per step (round-1 decode was ~2.5x
         # off its HBM roofline exactly because of those copies).
+        quant_cache = "k_scale" in cache
         if S == 1:
             b_idx = jnp.arange(B)
-            cache_k = cache_k.at[layer_idx, b_idx, write_pos].set(
-                k[:, 0].astype(cache_k.dtype)
-            )
-            cache_v = cache_v.at[layer_idx, b_idx, write_pos].set(
-                v[:, 0].astype(cache_v.dtype)
-            )
-            k_all = jax.lax.dynamic_index_in_dim(cache_k, layer_idx, 0, keepdims=False)
-            v_all = jax.lax.dynamic_index_in_dim(cache_v, layer_idx, 0, keepdims=False)
-            attn = attention(
-                q, k_all, v_all, causal=False, kv_lens=kv_lens, impl="xla"
-            )
+            cache = dict(cache)
+            if quant_cache:
+                from ullava_tpu.ops.decode_attention import (
+                    decode_attention_int8,
+                    decode_attention_int8_xla,
+                    quantize_kv_rows,
+                )
+
+                kq, ks = quantize_kv_rows(k[:, 0])  # [B, Hkv, hd] rows
+                vq, vs = quantize_kv_rows(v[:, 0])
+                cache["k"] = cache["k"].at[layer_idx, b_idx, write_pos].set(kq)
+                cache["v"] = cache["v"].at[layer_idx, b_idx, write_pos].set(vq)
+                cache["k_scale"] = (
+                    cache["k_scale"].at[layer_idx, b_idx, write_pos].set(ks)
+                )
+                cache["v_scale"] = (
+                    cache["v_scale"].at[layer_idx, b_idx, write_pos].set(vs)
+                )
+                args = tuple(
+                    jax.lax.dynamic_index_in_dim(cache[n], layer_idx, 0, keepdims=False)
+                    for n in ("k", "v", "k_scale", "v_scale")
+                )
+                fused = Hkv == H and _on_tpu()
+                fn = decode_attention_int8 if fused else decode_attention_int8_xla
+                attn = fn(q, *args, kv_lens, scale=hd**-0.5)
+            else:
+                cache["k"] = cache["k"].at[layer_idx, b_idx, write_pos].set(
+                    k[:, 0].astype(cache["k"].dtype)
+                )
+                cache["v"] = cache["v"].at[layer_idx, b_idx, write_pos].set(
+                    v[:, 0].astype(cache["v"].dtype)
+                )
+                k_all = jax.lax.dynamic_index_in_dim(
+                    cache["k"], layer_idx, 0, keepdims=False
+                )
+                v_all = jax.lax.dynamic_index_in_dim(
+                    cache["v"], layer_idx, 0, keepdims=False
+                )
+                attn = attention(
+                    q, k_all, v_all, causal=False, kv_lens=kv_lens, impl="xla"
+                )
         else:
             # Prefill: bulk-write positions [0, S) and attend causally.
-            idx = (layer_idx,) + (jnp.int32(0),) * 4
-            cache_k = jax.lax.dynamic_update_slice(
-                cache_k, k.astype(cache_k.dtype)[None], idx
-            )
-            cache_v = jax.lax.dynamic_update_slice(
-                cache_v, v.astype(cache_v.dtype)[None], idx
-            )
+            cache = dict(cache)
+            if quant_cache:
+                from ullava_tpu.ops.decode_attention import quantize_kv_rows
+
+                kq, ks = quantize_kv_rows(k)
+                vq, vs = quantize_kv_rows(v)
+                writes = {"k": kq, "v": vq, "k_scale": ks, "v_scale": vs}
+            else:
+                writes = {
+                    "k": k.astype(cache["k"].dtype),
+                    "v": v.astype(cache["v"].dtype),
+                }
+            for name, val in writes.items():
+                idx = (layer_idx,) + (jnp.int32(0),) * (cache[name].ndim - 1)
+                cache[name] = jax.lax.dynamic_update_slice(
+                    cache[name], val[None], idx
+                )
             attn = attention(
                 q, k, v, causal=causal, kv_lens=kv_lens, impl=attn_impl
             )
@@ -192,7 +252,7 @@ def _layer(
     x = rms_norm(h, p["post_norm"], cfg.rms_norm_eps)
     gated = jax.nn.silu(lin(x, p["gate_proj"])) * lin(x, p["up_proj"])
     h = h + lin(gated, p["down_proj"])
-    return h, cache_k, cache_v
+    return h, cache
 
 
 def forward(
@@ -228,8 +288,8 @@ def forward(
     if kv_cache is None:
 
         def body(carry, lp):
-            out, _, _ = _layer(
-                cfg, carry, lp, cos, sin, kv_lens, None, None, None, None,
+            out, _ = _layer(
+                cfg, carry, lp, cos, sin, kv_lens, None, None, None,
                 causal, cfg.attn_impl,
             )
             return out, None
@@ -248,20 +308,19 @@ def forward(
         n_layers = jax.tree_util.tree_leaves(layer_params)[0].shape[0]
 
         def body(carry, xs):
-            hh, ck, cv = carry
+            hh, cc = carry
             lp, i = xs
-            hh, ck, cv = _layer(
-                cfg, hh, lp, cos, sin, kv_lens, ck, cv, i, write_pos,
+            hh, cc = _layer(
+                cfg, hh, lp, cos, sin, kv_lens, cc, i, write_pos,
                 causal, cfg.attn_impl,
             )
-            return (hh, ck, cv), None
+            return (hh, cc), None
 
-        (h, new_k, new_v), _ = jax.lax.scan(
+        (h, new_cache), _ = jax.lax.scan(
             body,
-            (h, kv_cache["k"], kv_cache["v"]),
+            (h, kv_cache),
             (layer_params, jnp.arange(n_layers, dtype=jnp.int32)),
         )
-        new_cache = {"k": new_k, "v": new_v}
 
     h = rms_norm(h, params["norm"], cfg.rms_norm_eps)
     logits = (
