@@ -26,43 +26,37 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(q_ref, k_ref, v_ref, a_ref, b_ref, o_ref, *, scale: float, window: int):
+def _kernel(q_ref, k_ref, v_ref, a_ref, b_ref, oh_ref, o_ref, *, scale: float, window: int):
     # Blocks: q/k/v [NB, S, hd], a/b [NB, S, W], o [NB, S, hd]; S = window^2.
     # NB (window, head) pairs per program amortize launch overhead — the
     # per-pair workload (196 x 80) is tiny next to the grid dispatch cost.
-    # Matmul inputs stay bf16 (MXU native rate); accumulation is fp32 via
-    # preferred_element_type — casting inputs to fp32 would quarter MXU
-    # throughput.
+    #
+    # The decomposed bias is FOLDED INTO the qk contraction: since
+    # bias[s, t=(a,b)] = A[s, a] + Bb[s, b], augmenting (in VMEM)
+    #   q' = [q, A/scale, Bb/scale]
+    #   k' = [k, onehot(t//W), onehot(t%W)]
+    # gives q'.k' * scale = qk*scale + A + Bb in ONE K=(hd+2W)->128 dot —
+    # the previous version issued three MXU-tile-padded dots (K=80 qk +
+    # two K=14 one-hot expansions) and measured ~1.8x slower. The one-hot
+    # lanes are exact in bf16; the bias rescale happens in fp32.
+    W = window
     q = q_ref[...]
     k = k_ref[...]
     v = v_ref[...]
-    # Bias terms stay in their input dtype (bf16): the one-hot expansion
-    # dot is a pure selection, exact in any dtype, and bf16 runs the MXU
-    # at 4x the fp32 rate. Accumulation is fp32 via preferred_element_type.
-    A = a_ref[...]  # [NB, S, W] (bias over row-blocks a)
-    Bb = b_ref[...]  # [NB, S, W] (bias over cols b)
+    S = q.shape[1]
+    NB = q.shape[0]
+    # a/b arrive pre-scaled by 1/scale (folded into the producing einsum
+    # on the XLA side); oh is the [S, 2W] one-hot constant. All inputs
+    # share one dtype so the VMEM concats involve no sub-lane casts
+    # (Mosaic rejects f32->bf16 truncation on <128-lane vectors).
+    qa = jnp.concatenate([q, a_ref[...], b_ref[...]], axis=-1)
+    ka = jnp.concatenate(
+        [k, jnp.broadcast_to(oh_ref[...][None], (NB, S, 2 * W))], axis=-1
+    )
 
     s = jax.lax.dot_general(
-        q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
-    ) * scale  # [NB, S, S] fp32
-
-    # bias[s, a*W + b] = A[s, a] + Bb[s, b]. Expand with one-hot matmuls
-    # (mosaic rejects merging non-lane-aligned minor dims in a reshape;
-    # a [W, S] one-hot contraction hits the MXU instead and the [S, S]
-    # bias never exists outside VMEM):
-    #   Eh[a, t] = [t // W == a]   ->  a_exp = A @ Eh
-    #   Ew[b, t] = [t %  W == b]   ->  b_exp = Bb @ Ew
-    S = q.shape[1]
-    col_t = jax.lax.broadcasted_iota(jnp.int32, (window, S), 1)
-    row = jax.lax.broadcasted_iota(jnp.int32, (window, S), 0)
-    eh = (col_t // window == row).astype(A.dtype)
-    ew = (col_t % window == row).astype(A.dtype)
-    s = s + jax.lax.dot_general(
-        A, eh, (((2,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    s = s + jax.lax.dot_general(
-        Bb, ew, (((2,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )
+        qa, ka, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    ) * scale  # [NB, S, S] fp32: qk^T * scale + bias, in one dot
 
     m = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s - m)
@@ -85,30 +79,48 @@ def fused_window_attention(
     interpret: bool = False,
 ) -> jax.Array:
     N, S, hd = q.shape
-    assert S == window * window
+    W = window
+    assert S == W * W
     while n_block > 1 and N % n_block:
         n_block //= 2
+    # Pre-scale the bias by 1/scale (fuses into the einsum that produced
+    # it) and build the [S, 2W] one-hot constant once on the XLA side.
+    inv = 1.0 / scale
+    a_s = (bias_a.astype(jnp.float32) * inv).astype(q.dtype)
+    b_s = (bias_b.astype(jnp.float32) * inv).astype(q.dtype)
+    t = jnp.arange(S)
+    oh = jnp.concatenate(
+        [
+            (t[:, None] // W == jnp.arange(W)[None]),
+            (t[:, None] % W == jnp.arange(W)[None]),
+        ],
+        axis=-1,
+    ).astype(q.dtype)  # [S, 2W]
     kernel = functools.partial(_kernel, scale=scale, window=window)
     spec3 = lambda d: pl.BlockSpec((n_block, S, d), lambda n: (n, 0, 0),
                                    memory_space=pltpu.VMEM)
+    oh_spec = pl.BlockSpec((S, 2 * W), lambda n: (0, 0), memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kernel,
         grid=(N // n_block,),
-        in_specs=[spec3(hd), spec3(hd), spec3(hd), spec3(window), spec3(window)],
+        in_specs=[spec3(hd), spec3(hd), spec3(hd), spec3(W), spec3(W), oh_spec],
         out_specs=spec3(hd),
         out_shape=jax.ShapeDtypeStruct((N, S, hd), q.dtype),
         interpret=interpret,
-    )(q, k, v, bias_a, bias_b)
+    )(q, k, v, a_s, b_s, oh)
 
 
 def _tiled_kernel(
-    q_ref, k_ref, v_ref, a_ref, b_ref, o_ref,
+    q_ref, k_ref, v_ref, a_ref, b_ref, oh_ref, o_ref,
     m_ref, l_ref, acc_ref,
     *, scale: float, window: int, block_q: int, block_k: int,
 ):
     """Flash-style online-softmax attention with decomposed rel-pos bias
-    computed per k-tile (for the SAM global blocks: S = window^2 = 4096,
-    whose full [S, S] scores neither fit VMEM nor should touch HBM)."""
+    (for the SAM global blocks: S = window^2 = 4096, whose full [S, S]
+    scores neither fit VMEM nor should touch HBM). As in `_kernel`, the
+    bias folds into the score contraction: q' = [q, A/scale, Bb/scale]
+    against k' = [k, onehot(t//W), onehot(t%W)] — one K=208->256 dot
+    instead of three 128-padded ones (qk + two one-hot expansions)."""
     ik = pl.program_id(2)
     nk = pl.num_programs(2)
 
@@ -121,25 +133,14 @@ def _tiled_kernel(
     q = q_ref[0]
     k = k_ref[0]
     v = v_ref[0]
-    A = a_ref[0]  # [BQ, W], input dtype (selection dots are exact; see above)
-    Bb = b_ref[0]
+    # a/b pre-scaled by 1/scale on the XLA side; oh is the k-tile's slice
+    # of the [S, 2W] one-hot table (no in-kernel sub-lane bool casts).
+    qa = jnp.concatenate([q, a_ref[0], b_ref[0]], axis=-1)
+    ka = jnp.concatenate([k, oh_ref[...]], axis=-1)
 
     s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale  # [BQ, BK] fp32 accumulation over bf16 inputs
-
-    # Per-tile one-hot expansion of the decomposed bias: global k index
-    # t = ik*BK + col; row-block a = t // W, col b = t % W.
-    t = ik * block_k + jax.lax.broadcasted_iota(jnp.int32, (window, block_k), 1)
-    r = jax.lax.broadcasted_iota(jnp.int32, (window, block_k), 0)
-    eh = (t // window == r).astype(A.dtype)
-    ew = (t % window == r).astype(A.dtype)
-    s = s + jax.lax.dot_general(
-        A, eh, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    s = s + jax.lax.dot_general(
-        Bb, ew, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )
+        qa, ka, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale  # [BQ, BK] fp32: qk*scale + bias in one dot
 
     m_prev = m_ref[:, :1]
     m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
@@ -175,8 +176,20 @@ def fused_global_attention(
     ViT-H serving shapes (fewer program launches, larger MXU dots); the
     fp32 score tile is 4 MB, well inside VMEM."""
     N, S, hd = q.shape
+    W = window
     block_q = min(block_q, S)
     block_k = min(block_k, S)
+    inv = 1.0 / scale
+    a_s = (bias_a.astype(jnp.float32) * inv).astype(q.dtype)
+    b_s = (bias_b.astype(jnp.float32) * inv).astype(q.dtype)
+    t = jnp.arange(S)
+    oh = jnp.concatenate(
+        [
+            (t[:, None] // W == jnp.arange(W)[None]),
+            (t[:, None] % W == jnp.arange(W)[None]),
+        ],
+        axis=-1,
+    ).astype(q.dtype)  # [S, 2W] one-hot table, blocked by k-tile
     kernel = functools.partial(
         _tiled_kernel, scale=scale, window=window,
         block_q=block_q, block_k=block_k,
@@ -187,10 +200,12 @@ def fused_global_attention(
                          memory_space=pltpu.VMEM)
     aspec = pl.BlockSpec((1, block_q, window), lambda n, iq, ik: (n, iq, 0),
                          memory_space=pltpu.VMEM)
+    ohspec = pl.BlockSpec((block_k, 2 * W), lambda n, iq, ik: (ik, 0),
+                          memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kernel,
         grid=(N, pl.cdiv(S, block_q), pl.cdiv(S, block_k)),
-        in_specs=[qspec, kspec, kspec, aspec, aspec],
+        in_specs=[qspec, kspec, kspec, aspec, aspec, ohspec],
         out_specs=qspec,
         out_shape=jax.ShapeDtypeStruct((N, S, hd), q.dtype),
         scratch_shapes=[
@@ -199,7 +214,7 @@ def fused_global_attention(
             pltpu.VMEM((block_q, hd), jnp.float32),
         ],
         interpret=interpret,
-    )(q, k, v, bias_a, bias_b)
+    )(q, k, v, a_s, b_s, oh)
 
 
 def decomposed_bias_terms(
