@@ -312,6 +312,50 @@ def _is_packed(p: Params, cfg: SamVisionConfig) -> bool:
     return w.shape[-1] != 3 * cfg.embed_dim
 
 
+def _bias_terms_grid(y, rel_pos_h, rel_pos_w, cfg: SamVisionConfig, size: int):
+    """Bias terms for `fused_window_attention_grid`, P-factorized.
+
+    The i-batched einsum `A[s,h,a] = sum_c q[s,h,c] * Rh[i(s)-a+W-1, c]`
+    makes XLA materialize awkward f32 [i, a, n, ...] intermediates with
+    two layout copies (~6 ms/layer at ViT-H B=16). Factorize instead:
+        P[s, h, r] = sum_c q[s,h,c] * rel_pos[r, c]   (r = 0..2W-2)
+        A[s, h, a] = P[s, h, i(s) + W-1 - a]
+    P is ONE clean matmul of q against a per-head block-diagonal weight
+    (no relayout of q, which stays in its native (h, c) lane order), and
+    the sliding-window selection is W static lane slices — the column
+    reversal is absorbed by the kernel's one-hot order. The 1/scale
+    prefold rides the block-diag weight for free.
+
+    y: [N, S, 3C] qkv output; returns (A, Bb) each [H, N, S, W] in
+    reversed column order, y.dtype.
+    """
+    W = size
+    H, hd, C = cfg.num_heads, cfg.head_dim, cfg.embed_dim
+    R = 2 * W - 1
+    N, S, _ = y.shape
+    inv = float(hd**0.5)  # 1/scale, folded into the weights
+
+    def block_diag(rel):  # [R, hd] -> [C, H*R]
+        w = jnp.zeros((C, H * R), y.dtype)
+        blk = (rel.astype(jnp.float32) * inv).astype(y.dtype).T  # [hd, R]
+        for h in range(H):
+            w = jax.lax.dynamic_update_slice(w, blk, (h * hd, h * R))
+        return w
+
+    q = y[:, :, :C]
+    Ph = (q @ block_diag(rel_pos_h)).reshape(N, W, W, H, R)
+    Pw = (q @ block_diag(rel_pos_w)).reshape(N, W, W, H, R)
+    # Static slice-assembly of the sliding windows (gather-free), laid
+    # out head-leading for the kernel's per-head sheet indexing.
+    A = jnp.concatenate(
+        [Ph[:, i : i + 1, :, :, i : i + W] for i in range(W)], axis=1
+    ).transpose(3, 0, 1, 2, 4).reshape(H, N, S, W)
+    Bb = jnp.concatenate(
+        [Pw[:, :, j : j + 1, :, j : j + W] for j in range(W)], axis=2
+    ).transpose(3, 0, 1, 2, 4).reshape(H, N, S, W)
+    return A, Bb
+
+
 def _lin(cfg: SamVisionConfig, x: jax.Array, w) -> jax.Array:
     from ullava_tpu.ops.quant import apply_linear_a8, is_quantized
 
@@ -327,12 +371,32 @@ def _attn(x: jax.Array, p: Params, cfg: SamVisionConfig, size: int) -> jax.Array
     B = x.shape[0]
     C, H, hd = cfg.embed_dim, cfg.num_heads, cfg.head_dim
     S = size * size
-    qkv = (_lin(cfg, x.reshape(B, S, C), p["qkv"]) + p["qkv_bias"]).reshape(B, S, 3, H, hd)
+    y = _lin(cfg, x.reshape(B, S, C), p["qkv"]) + p["qkv_bias"]  # [B, S, 3C]
+
+    if _use_pallas(cfg, size) and size <= 16:
+        # Grid-native window kernel: consumes y whole (head slicing and
+        # output merging happen on VMEM lanes), so the HBM head-split /
+        # merge transposes of the older pipeline don't exist. Bias terms
+        # stay in the einsum's unmerged [N, H, i, j, a] layout, pre-scaled
+        # so the kernel can fold them into the qk contraction.
+        from ullava_tpu.ops.sam_attention import fused_window_attention_grid
+
+        A, Bb = _bias_terms_grid(y, p["rel_pos_h"], p["rel_pos_w"], cfg, size)
+        out = fused_window_attention_grid(
+            y, A, Bb,
+            num_heads=H, head_dim=hd, window=size, scale=hd**-0.5,
+            interpret=(cfg.attn_kernel == "pallas_interpret"),
+        )  # [B, S, C] head-merged
+        out = _lin(cfg, out, p["proj"]) + p["proj_bias"]
+        return out.reshape(B, size, size, C)
+
+    qkv = y.reshape(B, S, 3, H, hd)
     q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
 
     if _use_pallas(cfg, size):
-        # Fused Pallas kernel: bias stays in its compact decomposed form
-        # (W x smaller than [S, S]); expansion happens in VMEM.
+        # Global grid (S = 4096): the tiled flash variant (the XLA
+        # fallback would materialize [B, H, S, S] probs - 8.6 GB at
+        # batch 8). Bias stays in its compact decomposed form.
         qh = q.transpose(0, 2, 1, 3)  # [B, H, S, hd]
         kh = k.transpose(0, 2, 1, 3)
         vh = v.transpose(0, 2, 1, 3)
@@ -341,11 +405,7 @@ def _attn(x: jax.Array, p: Params, cfg: SamVisionConfig, size: int) -> jax.Array
             q_grid, p["rel_pos_h"], p["rel_pos_w"], size
         )
         N = B * H
-        # Small windows run the single-block kernel; the global grid
-        # (S = 4096) runs the tiled flash variant (the XLA fallback would
-        # materialize [B, H, S, S] probs - 8.6 GB at batch 8).
-        fused = fused_window_attention if size <= 16 else fused_global_attention
-        out = fused(
+        out = fused_global_attention(
             qh.reshape(N, S, hd), kh.reshape(N, S, hd), vh.reshape(N, S, hd),
             A.reshape(N, S, size).astype(qh.dtype),
             Bb.reshape(N, S, size).astype(qh.dtype),

@@ -110,6 +110,114 @@ def fused_window_attention(
     )(q, k, v, a_s, b_s, oh)
 
 
+def _grid_kernel(
+    y_ref, a_ref, b_ref, oh_ref, o_ref, *, num_heads: int, head_dim: int,
+    scale: float, window: int,
+):
+    # y [nb, S, 3C] raw qkv projection output (column order (3, H, hd));
+    # a/b [H, nb, S, W] bias terms in REVERSED column order (see
+    # fused_window_attention_grid), pre-scaled by 1/scale — head-leading
+    # so the per-head pick is a sheet index, which Mosaic concats cleanly;
+    # oh [S, 2W] one-hot table matching that order; o [nb, S, C] merged.
+    # All head slicing/merging happens on VMEM lanes — the HBM head-split
+    # and merge transposes of the earlier pipeline don't exist.
+    H, hd, W = num_heads, head_dim, window
+    C = H * hd
+    y = y_ref[...]
+    nb, S, _ = y.shape
+    oh = jnp.broadcast_to(oh_ref[...][None], (nb, S, 2 * W))
+    for h in range(H):
+        q = y[:, :, h * hd:(h + 1) * hd]
+        k = y[:, :, C + h * hd:C + (h + 1) * hd]
+        v = y[:, :, 2 * C + h * hd:2 * C + (h + 1) * hd]
+        A = a_ref[h]
+        Bb = b_ref[h]
+        qa = jnp.concatenate([q, A, Bb], axis=-1)
+        ka = jnp.concatenate([k, oh], axis=-1)
+        s = jax.lax.dot_general(
+            qa, ka, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        o = jax.lax.dot_general(
+            p.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        o_ref[:, :, h * hd:(h + 1) * hd] = o.astype(o_ref.dtype)
+
+
+def fused_window_attention_grid(
+    y: jax.Array,  # [N, S, 3*H*hd] qkv projection output (bias included)
+    bias_a: jax.Array,  # [H, N, S, W] col a' = bias for key row a=W-1-a'
+    bias_b: jax.Array,  # [H, N, S, W] col b' = bias for key col b=W-1-b'
+    num_heads: int,
+    head_dim: int,
+    window: int,
+    scale: float,
+    n_block: int = 4,
+    interpret: bool = False,
+) -> jax.Array:
+    """Grid-native windowed attention: consumes the raw [N, S, 3C] qkv
+    matmul output and produces the head-merged [N, S, C] pre-proj output.
+
+    The transpose-based pipeline spent ~9 ms/layer (ViT-H, B=16) on HBM
+    copies: a [400,196,3840] layout change staging the head split, three
+    [400,16,196,80] q/k/v transposes, bias-term merges, the [400,16,196,80]
+    output transpose, and a final layout copy. Here the kernel reads y
+    blocks whole, slices each head's 80 lanes in VMEM, and writes each
+    head's output into its lane slot of the merged block — none of those
+    copies exist.
+
+    Bias terms arrive pre-scaled by 1/scale in [N, S, H, W] layout with
+    REVERSED columns — the natural output of the P-factorization
+    (A[s, a] = P[s, i(s)+W-1-a], sliced per window row i), which replaces
+    the i-batched einsum with one clean matmul; the reversal is absorbed
+    by the one-hot column order here. See _kernel for the
+    fold-into-the-dot trick.
+    """
+    N, S, _ = y.shape
+    H, hd, W = num_heads, head_dim, window
+    assert S == W * W
+    while n_block > 1 and N % n_block:
+        n_block //= 2
+    t = jnp.arange(S)
+    # Reversed one-hots: bias column a' corresponds to key row W-1-a'.
+    oh = jnp.concatenate(
+        [
+            (t[:, None] // W == W - 1 - jnp.arange(W)[None]),
+            (t[:, None] % W == W - 1 - jnp.arange(W)[None]),
+        ],
+        axis=-1,
+    ).astype(y.dtype)  # [S, 2W]
+    kernel = functools.partial(
+        _grid_kernel, num_heads=H, head_dim=hd, scale=scale, window=W
+    )
+    bias_spec = pl.BlockSpec(
+        (H, n_block, S, W), lambda n: (0, n, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(N // n_block,),
+        in_specs=[
+            pl.BlockSpec((n_block, S, 3 * H * hd), lambda n: (n, 0, 0),
+                         memory_space=pltpu.VMEM),
+            bias_spec,
+            bias_spec,
+            pl.BlockSpec((S, 2 * W), lambda n: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((n_block, S, H * hd), lambda n: (n, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((N, S, H * hd), y.dtype),
+        # The whole-y blocks exceed the default 16 MB scoped-VMEM budget
+        # (~30 MB at ViT-H shapes with double buffering); v5e has 128 MB.
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(y, bias_a, bias_b, oh)
+
+
 def _tiled_kernel(
     q_ref, k_ref, v_ref, a_ref, b_ref, oh_ref, o_ref,
     m_ref, l_ref, acc_ref,
