@@ -181,6 +181,10 @@ def build_res(batch: int):
             # W8A8 prefill (BENCH_LLM_A8=0 for weight-only): prefill is
             # 68.6 TFLOP at B=16 and MXU-bound, so int8 dots are ~1.6x.
             a8_prefill=os.environ.get("BENCH_LLM_A8", "1") == "1",
+            # int8 KV cache + fused dequantizing decode attention
+            # (BENCH_KV8=0 for the bf16 cache): halves decode KV reads
+            # and the multi-GB cache allocation.
+            kv_quant=os.environ.get("BENCH_KV8", "1") == "1",
         ),
         vision=clip_vit.CLIPVisionConfig(dtype=jnp.bfloat16),
         vision_hidden_layer=-2,

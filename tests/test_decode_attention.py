@@ -90,6 +90,36 @@ def test_llama_kv_quant_decode_close_to_bf16_cache():
         assert np.abs(a - b).mean() / denom < 0.05
 
 
+def test_kv_quant_generate_on_tp_mesh_matches_single_device():
+    """int8-KV generate under a dp/tp mesh reproduces the single-device
+    int8-KV greedy decode exactly (the quantized cache arrays flow
+    through the while-loop carry with SPMD shardings)."""
+    from ullava_tpu.models import generate as gen_mod
+    from ullava_tpu.models import ullava_core
+    from ullava_tpu.parallel import MeshConfig, make_mesh
+    from ullava_tpu.parallel.sharding import shard_params
+
+    core = ullava_core.UllavaCoreConfig.tiny()
+    cfg = dataclasses.replace(
+        core, llm=dataclasses.replace(core.llm, kv_quant=True)
+    )
+    params = {"core": ullava_core.init_params(jax.random.PRNGKey(5), cfg)}
+    gen = gen_mod.GenerateConfig(max_new_tokens=4, temperature=0.0)
+    rng = np.random.default_rng(7)
+    ids = jnp.asarray(rng.integers(5, 100, size=(2, 10)), jnp.int32)
+    lens = jnp.asarray([10, 7], jnp.int32)
+
+    ref = gen_mod.generate(
+        params["core"], cfg, gen, input_ids=ids, prompt_lens=lens
+    )
+    mesh = make_mesh(MeshConfig(dp=2, fsdp=1, tp=4))
+    sharded = shard_params(params, mesh)["core"]
+    out = gen_mod.make_generate_fn(cfg, gen)(sharded, ids, lens)
+    np.testing.assert_array_equal(
+        np.asarray(out["sequences"]), np.asarray(ref["sequences"])
+    )
+
+
 def test_kv_quant_cache_shapes():
     cfg = dataclasses.replace(llama.LlamaConfig.tiny(), kv_quant=True)
     cache = llama.init_kv_cache(cfg, 2, 32)

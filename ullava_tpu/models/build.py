@@ -143,6 +143,11 @@ def build_ullava_core(
 
     llm_cfg = dataclasses.replace(llm_cfg, vocab_size=llm_params["embed_tokens"].shape[0])
 
+    # Serving knob: model.kv_cache: 'int8' stores the decode KV cache
+    # quantized (fused dequantizing decode-attention kernel on TPU).
+    if model_cfg.get("kv_cache") == "int8":
+        llm_cfg = dataclasses.replace(llm_cfg, kv_quant=True)
+
     cfg = ullava_core.UllavaCoreConfig(
         llm=llm_cfg,
         vision=vis_cfg,
