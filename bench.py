@@ -182,9 +182,12 @@ def build_res(batch: int):
             # 68.6 TFLOP at B=16 and MXU-bound, so int8 dots are ~1.6x.
             a8_prefill=os.environ.get("BENCH_LLM_A8", "1") == "1",
             # int8 KV cache + fused dequantizing decode attention
-            # (BENCH_KV8=0 for the bf16 cache): halves decode KV reads
-            # and the multi-GB cache allocation.
-            kv_quant=os.environ.get("BENCH_KV8", "1") == "1",
+            # (BENCH_KV8=1 to enable). Off by default: it halves the
+            # multi-GB cache allocation, but the measured decode step is
+            # slower than the bf16 cache (31.7 vs ~18 ms at B=32 - the
+            # quantize-scatter and kernel overheads exceed the ~3.5 ms
+            # of saved KV reads), so it is a memory knob, not a speed one.
+            kv_quant=os.environ.get("BENCH_KV8", "0") == "1",
         ),
         vision=clip_vit.CLIPVisionConfig(dtype=jnp.bfloat16),
         vision_hidden_layer=-2,

@@ -14,13 +14,15 @@ from ullava_tpu.ops.decode_attention import (
 )
 
 
-def _rand_case(rng, B=2, S=256, H=4, hd=128):
+def _rand_case(rng, L=3, B=2, S=256, H=4, hd=128):
     q = jnp.asarray(rng.standard_normal((B, 1, H, hd)), jnp.float32)
-    k = jnp.asarray(rng.standard_normal((B, S, H, hd)), jnp.float32)
-    v = jnp.asarray(rng.standard_normal((B, S, H, hd)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((L, B, S, H, hd)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((L, B, S, H, hd)), jnp.float32)
     kq, ks = quantize_kv_rows(k)
     vq, vs = quantize_kv_rows(v)
     lens = jnp.asarray([S, S // 2 + 3], jnp.int32)
+    kq = kq.reshape(L, B, S, H * hd)
+    vq = vq.reshape(L, B, S, H * hd)
     return q, kq, vq, ks, vs, lens
 
 
@@ -28,20 +30,22 @@ def test_decode_kernel_matches_xla_reference():
     rng = np.random.default_rng(0)
     q, kq, vq, ks, vs, lens = _rand_case(rng)
     scale = 128**-0.5
-    ref = decode_attention_int8_xla(q, kq, vq, ks, vs, lens, scale=scale)
+    layer = jnp.int32(1)
+    ref = decode_attention_int8_xla(q, kq, vq, ks, vs, lens, layer, scale=scale)
     got = decode_attention_int8(
-        q, kq, vq, ks, vs, lens, scale=scale, block_k=128, interpret=True
+        q, kq, vq, ks, vs, lens, layer, scale=scale, block_b=2, interpret=True
     )
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
 
 
 def test_decode_kernel_single_block():
     rng = np.random.default_rng(1)
-    q, kq, vq, ks, vs, lens = _rand_case(rng, S=96)  # forces one odd block
+    q, kq, vq, ks, vs, lens = _rand_case(rng, S=96)
     scale = 128**-0.5
-    ref = decode_attention_int8_xla(q, kq, vq, ks, vs, lens, scale=scale)
+    layer = jnp.int32(2)
+    ref = decode_attention_int8_xla(q, kq, vq, ks, vs, lens, layer, scale=scale)
     got = decode_attention_int8(
-        q, kq, vq, ks, vs, lens, scale=scale, interpret=True
+        q, kq, vq, ks, vs, lens, layer, scale=scale, interpret=True
     )
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
 

@@ -118,9 +118,13 @@ def init_kv_cache(
 ) -> Dict[str, jax.Array]:
     shape = (cfg.num_layers, batch, max_len, cfg.num_kv_heads, cfg.head_dim)
     if cfg.kv_quant:
+        # Heads pre-merged on the minor dim ([L, B, S, H*hd]): exactly the
+        # layout the fused decode kernel reads, so no per-layer lane-merge
+        # relayouts exist on the decode path.
+        merged = shape[:-2] + (shape[-2] * shape[-1],)
         return {
-            "k": jnp.zeros(shape, jnp.int8),
-            "v": jnp.zeros(shape, jnp.int8),
+            "k": jnp.zeros(merged, jnp.int8),
+            "v": jnp.zeros(merged, jnp.int8),
             "k_scale": jnp.zeros(shape[:-1], jnp.float32),
             "v_scale": jnp.zeros(shape[:-1], jnp.float32),
         }
@@ -191,21 +195,25 @@ def _layer(
 
                 kq, ks = quantize_kv_rows(k[:, 0])  # [B, Hkv, hd] rows
                 vq, vs = quantize_kv_rows(v[:, 0])
-                cache["k"] = cache["k"].at[layer_idx, b_idx, write_pos].set(kq)
-                cache["v"] = cache["v"].at[layer_idx, b_idx, write_pos].set(vq)
+                cache["k"] = cache["k"].at[layer_idx, b_idx, write_pos].set(
+                    kq.reshape(B, Hkv * hd)
+                )
+                cache["v"] = cache["v"].at[layer_idx, b_idx, write_pos].set(
+                    vq.reshape(B, Hkv * hd)
+                )
                 cache["k_scale"] = (
                     cache["k_scale"].at[layer_idx, b_idx, write_pos].set(ks)
                 )
                 cache["v_scale"] = (
                     cache["v_scale"].at[layer_idx, b_idx, write_pos].set(vs)
                 )
-                args = tuple(
-                    jax.lax.dynamic_index_in_dim(cache[n], layer_idx, 0, keepdims=False)
-                    for n in ("k", "v", "k_scale", "v_scale")
-                )
                 fused = Hkv == H and _on_tpu()
                 fn = decode_attention_int8 if fused else decode_attention_int8_xla
-                attn = fn(q, *args, kv_lens, scale=hd**-0.5)
+                attn = fn(
+                    q, cache["k"], cache["v"],
+                    cache["k_scale"], cache["v_scale"],
+                    kv_lens, layer_idx, scale=hd**-0.5,
+                )
             else:
                 cache["k"] = cache["k"].at[layer_idx, b_idx, write_pos].set(
                     k[:, 0].astype(cache["k"].dtype)
@@ -230,7 +238,12 @@ def _layer(
 
                 kq, ks = quantize_kv_rows(k)
                 vq, vs = quantize_kv_rows(v)
-                writes = {"k": kq, "v": vq, "k_scale": ks, "v_scale": vs}
+                writes = {
+                    "k": kq.reshape(B, S, Hkv * hd),
+                    "v": vq.reshape(B, S, Hkv * hd),
+                    "k_scale": ks,
+                    "v_scale": vs,
+                }
             else:
                 writes = {
                     "k": k.astype(cache["k"].dtype),
