@@ -181,6 +181,10 @@ def build_res(batch: int):
             # W8A8 prefill (BENCH_LLM_A8=0 for weight-only): prefill is
             # 68.6 TFLOP at B=16 and MXU-bound, so int8 dots are ~1.6x.
             a8_prefill=os.environ.get("BENCH_LLM_A8", "1") == "1",
+            # Serving: flash prefill attention (no [B,H,S,S] fp32 score
+            # materialization) + bf16 rope (no fp32 q/k staging).
+            attn_impl=os.environ.get("BENCH_LLM_ATTN", "flash"),
+            rope_f32=os.environ.get("BENCH_ROPE_F32", "0") == "1",
             # int8 KV cache + fused dequantizing decode attention
             # (BENCH_KV8=1 to enable). Off by default: it halves the
             # multi-GB cache allocation, but the measured decode step is

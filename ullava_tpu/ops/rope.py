@@ -38,14 +38,21 @@ def apply_rotary(
     k: jax.Array,  # [B, S, Hkv, D]
     cos: jax.Array,  # [B, S, D] or [S, D]
     sin: jax.Array,
+    compute_dtype=None,  # None -> fp32 (training default)
 ) -> Tuple[jax.Array, jax.Array]:
-    """Apply rotary embedding to q and k (head axis broadcast)."""
+    """Apply rotary embedding to q and k (head axis broadcast).
+
+    compute_dtype=bf16 is a serving knob: the fp32 rotation forces XLA to
+    materialize fp32 q/k staging tensors between fusions (~150 ms per 7B
+    prefill at B=32); bf16 keeps the chain in the weights' dtype at a
+    ~1e-3 relative rounding cost."""
+    cd = compute_dtype or jnp.float32
     # Broadcast cos/sin over the head axis: [..., S, 1, D]
     c = jnp.expand_dims(cos, axis=-2)
     s = jnp.expand_dims(sin, axis=-2)
     orig_dtype = q.dtype
-    qf, kf = q.astype(jnp.float32), k.astype(jnp.float32)
-    cf, sf = c.astype(jnp.float32), s.astype(jnp.float32)
+    qf, kf = q.astype(cd), k.astype(cd)
+    cf, sf = c.astype(cd), s.astype(cd)
     q_out = qf * cf + _rotate_half(qf) * sf
     k_out = kf * cf + _rotate_half(kf) * sf
     return q_out.astype(orig_dtype), k_out.astype(orig_dtype)
