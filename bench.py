@@ -498,6 +498,26 @@ def run_stage2(batch: int, steps: int, seq: int = 512):
     return ips, round(flops_per_img * ips / V5E_BF16_PEAK, 4)
 
 
+# Self-describing baseline note (VERDICT r2 item 8): the reference
+# publishes no serving/RES throughput; its only per-chip datum is the
+# stage-1 A100 training figure, so vs_baseline for the serving metric is
+# serving-throughput / training-throughput — NOT a same-task comparison.
+COMPARISON_BASIS = (
+    "reference stage-1 A100 training img/s/chip "
+    "(/root/reference/README.md:332: 595K samples, 6h/epoch, 4x A100-80G "
+    "= 6.887 img/s/chip); the reference publishes no RES serving "
+    "throughput. BASELINE.json north star = 5x this figure."
+)
+
+
+def _log_retry(exc: BaseException, batch) -> None:
+    sys.stderr.write(
+        f"bench: batch {batch} failed with {type(exc).__name__}: "
+        f"{str(exc)[-400:]}\n  -> retrying remaining batches in fresh "
+        "subprocesses\n"
+    )
+
+
 def _retry_in_subprocess(batches) -> bool:
     """After an on-chip OOM, this process's TPU arena is poisoned — a
     smaller batch then fails spuriously. Retry each remaining batch in a
@@ -544,6 +564,7 @@ def main():
                 return
             except Exception as e:
                 last_err = e
+                _log_retry(e, b)
                 if _retry_in_subprocess(batches[i + 1 :]):
                     return
                 break
@@ -562,6 +583,7 @@ def main():
                 ips, details = run_res(b, steps)
             except Exception as e:
                 last_err = e
+                _log_retry(e, b)
                 if _retry_in_subprocess(batches[i + 1 :]):
                     return
                 break
@@ -576,6 +598,7 @@ def main():
                 # Only per-chip reference point the upstream publishes is
                 # its stage-1 A100 figure; north star is 5x it.
                 "vs_baseline": round(ips / A100_BASELINE, 3),
+                "comparison_basis": COMPARISON_BASIS,
                 **details,
             }
             if os.environ.get("BENCH_SECONDARY", "1") == "1":
@@ -595,6 +618,13 @@ def main():
                         "value": round(ips1, 3),
                         "unit": "images/sec/chip",
                         "vs_baseline": round(ips1 / A100_BASELINE, 3),
+                        "comparison_basis": (
+                            "same A100 training figure; NOTE measured at "
+                            "seq 384 — the reference's stage-1 operating "
+                            "point is model_max_length 1024 (its true avg "
+                            "caption seq is unknown); see STATUS.md for the "
+                            "seq-1024 row"
+                        ),
                         "mfu": mfu1,
                     }
                 except Exception as e:
@@ -632,6 +662,7 @@ def main():
             return
         except Exception as e:  # OOM or compile failure -> smaller batch
             last_err = e
+            _log_retry(e, b)
             if _retry_in_subprocess(batches[i + 1 :]):
                 return
             break

@@ -233,6 +233,75 @@ def test_res_dataset_and_grounding_collator(synthetic_root):
     assert f[h:].sum() == 0  # nothing below the resized region
 
 
+def test_reference_template_bank_drop_in(synthetic_root):
+    """The documented parity escape hatch (templates/README.md): dropping
+    the reference's own SEG.json into template_root renders stage-2
+    prompts byte-exactly from the reference's wording."""
+    import os
+
+    ref_bank = "/root/reference/dataset/templates/SEG.json"
+    if not os.path.isfile(ref_bank):
+        import pytest
+
+        pytest.skip("reference checkout not mounted")
+    from ullava_tpu.data.datasets.res_dataset import ResDataset
+
+    with open(ref_bank, encoding="utf-8") as f:
+        bank = json.load(f)
+    assert isinstance(bank, list) and all(isinstance(t, str) for t in bank)
+
+    tok = _tokenizer()
+    from ullava_tpu.data.processors.clip_processor import CLIPProcessor
+
+    ds = ResDataset(
+        vis_processor=CLIPProcessor(image_size=28),
+        tokenizer=tok,
+        vis_root=str(synthetic_root / "images"),
+        ann_root=str(synthetic_root / "res.jsonl"),
+        template_root=ref_bank,
+    )
+    assert ds.templates == bank  # loader accepts the reference file as-is
+
+    # Pin the template draw and the sentence subsample, then check the
+    # human turn is the template with <class> substituted, byte-for-byte.
+    for t_idx in range(len(bank)):
+        ds.rng = type("R", (), {"choice": staticmethod(lambda seq, _i=t_idx: seq[_i])})()
+        np.random.seed(0)
+        sample = ds.build_sample(0)
+        q = sample["conversations"][0]["value"]
+        sent = q  # recover which sentence was drawn
+        expected_prefix = bank[t_idx].split("<class>")[0]
+        assert q.startswith(expected_prefix)
+        # exact reconstruction: strip the template around the class slot
+        pre, post = bank[t_idx].split("<class>")
+        assert q.startswith(pre) and q.endswith(post)
+        sentence = q[len(pre) : len(q) - len(post)]
+        assert q == bank[t_idx].replace("<class>", sentence)
+
+    # Full prompt render through the conversation module matches the
+    # reference's own Conversation renderer byte-for-byte.
+    import importlib.util
+
+    ref_conv_path = "/root/reference/utils/conversation.py"
+    if os.path.isfile(ref_conv_path):
+        spec = importlib.util.spec_from_file_location("ref_conv2", ref_conv_path)
+        ref_conv = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(ref_conv)
+        from ullava_tpu.conversation import conversation_lib
+
+        np.random.seed(0)
+        ds.rng = type("R", (), {"choice": staticmethod(lambda seq: seq[2])})()
+        sample = ds.build_sample(1)
+        ours = conversation_lib["conv_simple"].copy()
+        theirs = ref_conv.conversation_lib["conv_simple"].copy()
+        for turn in sample["conversations"]:
+            role_ours = ours.roles[0 if turn["from"] == "human" else 1]
+            role_theirs = theirs.roles[0 if turn["from"] == "human" else 1]
+            ours.append_message(role_ours, turn["value"])
+            theirs.append_message(role_theirs, turn["value"])
+        assert ours.get_prompt() == theirs.get_prompt()
+
+
 def test_concat_shuffle_deterministic(synthetic_root):
     from ullava_tpu.data.datasets import ConcatDatasetWithShuffle
 

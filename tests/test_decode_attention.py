@@ -124,6 +124,52 @@ def test_kv_quant_generate_on_tp_mesh_matches_single_device():
     )
 
 
+def test_decode_kernel_bf16_inputs_match_fp32_reference():
+    """Serving dtype (bf16 q) parity: the kernel's score scaling runs in
+    fp32 (folded into the key-scale multiply), so bf16 inputs only carry
+    the bf16 representation error of q itself."""
+    rng = np.random.default_rng(4)
+    q, kq, vq, ks, vs, lens = _rand_case(rng, S=128)
+    qb = q.astype(jnp.bfloat16)
+    scale = 128**-0.5
+    layer = jnp.int32(0)
+    ref = decode_attention_int8_xla(
+        qb.astype(jnp.float32), kq, vq, ks, vs, lens, layer, scale=scale
+    )
+    got = decode_attention_int8(
+        qb, kq, vq, ks, vs, lens, layer, scale=scale, block_b=2, interpret=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(ref), atol=0.04, rtol=0.04
+    )
+
+
+def test_llama_gqa_kv_quant_decode():
+    """GQA (num_kv_heads < num_heads) + kv_quant routes through the XLA
+    fallback, whose cache reshape must use Hkv (not q's head count)."""
+    cfg = llama.LlamaConfig.tiny(num_heads=4, num_kv_heads=2)
+    qcfg = dataclasses.replace(cfg, kv_quant=True)
+    params = llama.init_params(jax.random.PRNGKey(1), cfg)
+    rng = np.random.default_rng(5)
+    B, S, total = 2, 8, 16
+    ids = jnp.asarray(rng.integers(5, 500, size=(B, S)), jnp.int32)
+    lens = jnp.asarray([S, S - 3], jnp.int32)
+
+    outs = {}
+    for name, c in (("bf16", cfg), ("int8", qcfg)):
+        cache = llama.init_kv_cache(c, B, total)
+        pre = llama.forward(params, c, input_ids=ids, kv_lens=lens, kv_cache=cache)
+        tok = jnp.asarray([[7], [9]], jnp.int32)
+        step = llama.forward(
+            params, c, input_ids=tok, positions=lens[:, None],
+            kv_lens=lens + 1, kv_cache=pre["kv_cache"], write_pos=lens,
+        )
+        outs[name] = (np.asarray(pre["logits"]), np.asarray(step["logits"]))
+    for a, b in zip(outs["bf16"], outs["int8"]):
+        denom = np.abs(a).mean() + 1e-6
+        assert np.abs(a - b).mean() / denom < 0.05
+
+
 def test_kv_quant_cache_shapes():
     cfg = dataclasses.replace(llama.LlamaConfig.tiny(), kv_quant=True)
     cache = llama.init_kv_cache(cfg, 2, 32)

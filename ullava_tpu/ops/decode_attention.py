@@ -56,6 +56,7 @@ def _kernel(
     block_b: int,
     num_heads: int,
     head_dim: int,
+    scale: float,
 ):
     # One program handles `block_b` batch rows over the FULL cache (maxS
     # for RES serving is a few hundred -> whole row fits VMEM, no online
@@ -88,7 +89,10 @@ def _kernel(
             k2, W, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # [S, H]
-        sc = sc * ks_ref[0, b]
+        # Softmax scale folds into the fp32 key-scale multiply here (not a
+        # bf16 pre-scale of q, which would add a rounding step the XLA
+        # reference path doesn't have).
+        sc = sc * (ks_ref[0, b] * scale)
         kv_len = len_ref[ib * block_b + b]
         pos = jax.lax.broadcasted_iota(jnp.int32, sc.shape, 0)
         sc = jnp.where(pos < kv_len, sc, _NEG_INF)
@@ -131,7 +135,7 @@ def decode_attention_int8(
     L, _, maxS, C = cache_k.shape
     while block_b > 1 and B % block_b:
         block_b //= 2
-    qs = q[:, 0] * scale  # pre-scale; kernel dots run in q.dtype
+    qs = q[:, 0]
 
     kv_spec = pl.BlockSpec(
         (1, block_b, maxS, C), lambda b, l_ref: (l_ref[0], b, 0, 0),
@@ -160,7 +164,7 @@ def decode_attention_int8(
     )
     out = pl.pallas_call(
         functools.partial(
-            _kernel, block_b=block_b, num_heads=H, head_dim=hd
+            _kernel, block_b=block_b, num_heads=H, head_dim=hd, scale=scale
         ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, 1, C), q.dtype),
@@ -189,14 +193,17 @@ def decode_attention_int8_xla(
 
     B, _, H, hd = q.shape
     maxS = cache_k.shape[2]
+    # The cache's merged lane dim is Hkv*hd (GQA/MQA caches are smaller
+    # than H*hd); derive Hkv from the scale tensor, not from q.
+    Hkv = k_scale.shape[-1]
     kq = jax.lax.dynamic_index_in_dim(cache_k, layer_idx, 0, keepdims=False)
     vq = jax.lax.dynamic_index_in_dim(cache_v, layer_idx, 0, keepdims=False)
     ks = jax.lax.dynamic_index_in_dim(k_scale, layer_idx, 0, keepdims=False)
     vs = jax.lax.dynamic_index_in_dim(v_scale, layer_idx, 0, keepdims=False)
     k = (
-        kq.reshape(B, maxS, H, hd).astype(jnp.float32) * ks[..., None]
+        kq.reshape(B, maxS, Hkv, hd).astype(jnp.float32) * ks[..., None]
     ).astype(q.dtype)
     v = (
-        vq.reshape(B, maxS, H, hd).astype(jnp.float32) * vs[..., None]
+        vq.reshape(B, maxS, Hkv, hd).astype(jnp.float32) * vs[..., None]
     ).astype(q.dtype)
     return attention_xla(q, k, v, causal=False, kv_lens=kv_lens, scale=scale)
