@@ -386,3 +386,49 @@ def test_packed_kernels_interpret_match_fallback():
     cfg_k = dataclasses.replace(cfg, attn_kernel="pallas_interpret")
     out = ie.encode(packed, cfg_k, x)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=0, atol=1e-4)
+
+
+def test_resident_layout_roundtrip():
+    """_partition_resident / _unpartition_resident invert each other,
+    including the boundary classes (grid 7, window 3 -> rem 1)."""
+    from ullava_tpu.models.sam.image_encoder import (
+        _partition_resident,
+        _unpartition_resident,
+    )
+
+    rng = np.random.default_rng(0)
+    for g, ws in [(7, 3), (4, 2), (8, 3)]:
+        x = jnp.asarray(rng.standard_normal((2, g, g, 5)), jnp.float32)
+        cls = _partition_resident(x, ws)
+        back = _unpartition_resident(cls, 2, g, ws)
+        np.testing.assert_array_equal(np.asarray(back), np.asarray(x))
+
+
+def test_resident_window_layout_matches_xla_boundary():
+    """The compact resident window-major path (grid % window != 0: full +
+    right/bottom/corner classes with analytic pad keys) == the reference
+    per-block zero-pad XLA path. Grid 4, window 3 -> 1 full (3x3),
+    1 right (3x1), 1 bottom (1x3), 1 corner (1x1) window per image."""
+    import dataclasses
+
+    from ullava_tpu.models.sam import image_encoder as ie
+
+    cfg = ie.SamVisionConfig.tiny(window_size=3, global_attn_indexes=(1, 3))
+    params = ie.init_params(jax.random.PRNGKey(0), cfg)
+    # Randomize rel-pos tables so the decomposed-bias path is exercised.
+    rng = np.random.default_rng(3)
+    for k in ("rel_pos_h", "rel_pos_w"):
+        for blk in ("window_blocks", "global_blocks"):
+            params[blk][k] = jnp.asarray(
+                0.1 * rng.standard_normal(params[blk][k].shape), jnp.float32
+            )
+    img = jnp.asarray(rng.standard_normal((2, 64, 64, 3)), jnp.float32)
+
+    ref = ie.encode(params, dataclasses.replace(cfg, attn_kernel="xla"), img)
+    cfg_res = dataclasses.replace(
+        cfg, attn_kernel="pallas_interpret", window_layout="resident"
+    )
+    got = ie.encode(params, cfg_res, img)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), atol=2e-4, rtol=2e-4
+    )

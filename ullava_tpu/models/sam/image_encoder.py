@@ -62,6 +62,12 @@ class SamVisionConfig:
     # Serving-only: same int8-activation treatment for the attention
     # qkv/proj projections (~2 TFLOP/img otherwise running bf16-rate).
     attn_w8a8: bool = False
+    # Window-block token layout: 'auto' keeps tokens in the compact
+    # pad-free window-major layout across each group's window blocks
+    # whenever the Pallas kernels are active (grid restored only at the
+    # global blocks); 'block' forces the reference-style per-block
+    # partition/unpartition; 'resident' forces the resident layout.
+    window_layout: str = "auto"
 
     @property
     def head_dim(self) -> int:
@@ -329,10 +335,20 @@ def _bias_terms_grid(y, rel_pos_h, rel_pos_w, cfg: SamVisionConfig, size: int):
     y: [N, S, 3C] qkv output; returns (A, Bb) each [H, N, S, W] in
     reversed column order, y.dtype.
     """
-    W = size
+    return _bias_terms_rect(y, rel_pos_h, rel_pos_w, cfg, size, size, size)
+
+
+def _bias_terms_rect(
+    y, rel_pos_h, rel_pos_w, cfg: SamVisionConfig, rows: int, cols: int,
+    W: int,
+):
+    """`_bias_terms_grid` generalized to a rows x cols REAL rectangle of a
+    logical W x W window (the resident layout's boundary classes): queries
+    exist only at real positions, but each still biases against all W key
+    rows/cols of the logical window."""
     H, hd, C = cfg.num_heads, cfg.head_dim, cfg.embed_dim
     R = 2 * W - 1
-    N, S, _ = y.shape
+    N, T, _ = y.shape
     inv = float(hd**0.5)  # 1/scale, folded into the weights
 
     def block_diag(rel):  # [R, hd] -> [C, H*R]
@@ -343,16 +359,16 @@ def _bias_terms_grid(y, rel_pos_h, rel_pos_w, cfg: SamVisionConfig, size: int):
         return w
 
     q = y[:, :, :C]
-    Ph = (q @ block_diag(rel_pos_h)).reshape(N, W, W, H, R)
-    Pw = (q @ block_diag(rel_pos_w)).reshape(N, W, W, H, R)
+    Ph = (q @ block_diag(rel_pos_h)).reshape(N, rows, cols, H, R)
+    Pw = (q @ block_diag(rel_pos_w)).reshape(N, rows, cols, H, R)
     # Static slice-assembly of the sliding windows (gather-free), laid
     # out head-leading for the kernel's per-head sheet indexing.
     A = jnp.concatenate(
-        [Ph[:, i : i + 1, :, :, i : i + W] for i in range(W)], axis=1
-    ).transpose(3, 0, 1, 2, 4).reshape(H, N, S, W)
+        [Ph[:, i : i + 1, :, :, i : i + W] for i in range(rows)], axis=1
+    ).transpose(3, 0, 1, 2, 4).reshape(H, N, T, W)
     Bb = jnp.concatenate(
-        [Pw[:, :, j : j + 1, :, j : j + W] for j in range(W)], axis=2
-    ).transpose(3, 0, 1, 2, 4).reshape(H, N, S, W)
+        [Pw[:, :, j : j + 1, :, j : j + W] for j in range(cols)], axis=2
+    ).transpose(3, 0, 1, 2, 4).reshape(H, N, T, W)
     return A, Bb
 
 
@@ -447,14 +463,19 @@ def _block(x: jax.Array, p: Params, cfg: SamVisionConfig, window: bool) -> jax.A
         x = _attn(x, p, cfg, gh)
 
     x = shortcut + x
+    return _mlp_tail(x, p, cfg)
 
-    # Fused MLP kernel (LN2+fc1+gelu+fc2+residual in one VMEM pass) on the
-    # serving path: frozen int8 towers, TPU, tile-aligned token count.
+
+def _mlp_tail(x: jax.Array, p: Params, cfg: SamVisionConfig) -> jax.Array:
+    """x + MLP(LN2(x)) over [..., C] tokens; fused Pallas kernel
+    (LN2+fc1+gelu+fc2+residual in one VMEM pass) on the serving path:
+    frozen int8 towers, TPU, tile-aligned token count."""
     from ullava_tpu.ops.quant import is_quantized
 
-    T = B * gh * gw
+    C = x.shape[-1]
+    T = x.size // C
     if (
-        _use_pallas(cfg, gh)
+        _use_pallas(cfg, 0)
         and is_quantized(p["fc1"])
         and is_quantized(p["fc2"])
         and T % 512 == 0
@@ -471,11 +492,183 @@ def _block(x: jax.Array, p: Params, cfg: SamVisionConfig, window: bool) -> jax.A
             w8a8=cfg.mlp_w8a8,
             interpret=(cfg.attn_kernel == "pallas_interpret"),
         )
-        return out.reshape(B, gh, gw, C)
+        return out.reshape(x.shape)
 
     y = layer_norm(x, p["ln2_scale"], p["ln2_bias"], cfg.layer_norm_eps)
     y = jax.nn.gelu(apply_linear(y, p["fc1"]) + p["fc1_bias"], approximate=False)
     return x + (apply_linear(y, p["fc2"]) + p["fc2_bias"])
+
+
+# ---------------------------------------------------------------------------
+# Resident window-major layout (serving): the per-block pad -> partition ->
+# attend -> unpartition -> crop chain of `_block` costs two awkward
+# 14-strided HBM relayouts per window layer (~125 ms per ViT-H B=16
+# encode) plus 19.6% pad-token qkv/proj FLOPs. Instead, partition ONCE per
+# group into COMPACT per-class tensors (full / right-edge / bottom-edge /
+# corner windows — no pad tokens anywhere), run all the group's window
+# blocks in that layout, and restore grid order only for the group's
+# closing global block. The reference's zero-pad attention keys are exact
+# analytic constants (pad qkv input is 0, so k/v = qkv bias) supplied to
+# `fused_window_attention_rect` as per-layer tables.
+# Reference chain: `image_encoder.py:263-318` (window_partition/unpartition).
+# ---------------------------------------------------------------------------
+
+
+def _class_geometry(name: str, cfg: SamVisionConfig) -> Tuple[int, int]:
+    ws, rem = cfg.window_size, cfg.grid % cfg.window_size
+    return {
+        "full": (ws, ws), "right": (ws, rem),
+        "bottom": (rem, ws), "corner": (rem, rem),
+    }[name]
+
+
+def _partition_resident(x: jax.Array, ws: int) -> Dict[str, jax.Array]:
+    """[B, g, g, C] -> compact window-major class tensors [N, T, C]."""
+    B, g, _, C = x.shape
+    f, rem = divmod(g, ws)
+    e = f * ws
+    full = (
+        x[:, :e, :e]
+        .reshape(B, f, ws, f, ws, C)
+        .transpose(0, 1, 3, 2, 4, 5)
+        .reshape(B * f * f, ws * ws, C)
+    )
+    out = {"full": full}
+    if rem:
+        out["right"] = x[:, :e, e:].reshape(B * f, ws * rem, C)
+        out["bottom"] = (
+            x[:, e:, :e]
+            .reshape(B, rem, f, ws, C)
+            .transpose(0, 2, 1, 3, 4)
+            .reshape(B * f, rem * ws, C)
+        )
+        out["corner"] = x[:, e:, e:].reshape(B, rem * rem, C)
+    return out
+
+
+def _unpartition_resident(
+    cls: Dict[str, jax.Array], B: int, g: int, ws: int
+) -> jax.Array:
+    """Inverse of `_partition_resident`."""
+    C = cls["full"].shape[-1]
+    f, rem = divmod(g, ws)
+    e = f * ws
+    full = (
+        cls["full"]
+        .reshape(B, f, f, ws, ws, C)
+        .transpose(0, 1, 3, 2, 4, 5)
+        .reshape(B, e, e, C)
+    )
+    if not rem:
+        return full
+    right = cls["right"].reshape(B, e, rem, C)
+    top = jnp.concatenate([full, right], axis=2)  # [B, e, g, C]
+    bottom = (
+        cls["bottom"]
+        .reshape(B, f, rem, ws, C)
+        .transpose(0, 2, 1, 3, 4)
+        .reshape(B, rem, e, C)
+    )
+    corner = cls["corner"].reshape(B, rem, rem, C)
+    bot = jnp.concatenate([bottom, corner], axis=2)  # [B, rem, g, C]
+    return jnp.concatenate([top, bot], axis=1)
+
+
+def _rect_onehot(rows: int, cols: int, W: int, dtype) -> jax.Array:
+    """[T, 2W] reversed-column one-hots for the rect kernel's key fold."""
+    t = jnp.arange(rows * cols)
+    return jnp.concatenate(
+        [
+            (t[:, None] // cols == W - 1 - jnp.arange(W)[None]),
+            (t[:, None] % cols == W - 1 - jnp.arange(W)[None]),
+        ],
+        axis=-1,
+    ).astype(dtype)
+
+
+def _pad_tables(qkv_bias, rows: int, cols: int, W: int, H: int, hd: int, dtype):
+    """Virtual pad-key tables: the reference zero-pads after LN1, so a pad
+    token's key/value are exactly the qkv bias slices; only the rel-pos
+    one-hots vary by pad position. Returns ([H, P, hd+2W], [H, hd])."""
+    import numpy as np
+
+    bias = qkv_bias.reshape(3, H, hd)
+    pads = np.array(
+        [(a, b) for a in range(W) for b in range(W)
+         if not (a < rows and b < cols)],
+        np.int32,
+    )
+    P = pads.shape[0]
+    oh = np.concatenate(
+        [
+            (pads[:, 0:1] == W - 1 - np.arange(W)[None]),
+            (pads[:, 1:2] == W - 1 - np.arange(W)[None]),
+        ],
+        axis=-1,
+    ).astype(np.float32)  # [P, 2W]
+    pad_k = jnp.concatenate(
+        [
+            jnp.broadcast_to(bias[1][:, None, :], (H, P, hd)).astype(dtype),
+            jnp.broadcast_to(jnp.asarray(oh)[None], (H, P, 2 * W)).astype(dtype),
+        ],
+        axis=-1,
+    )
+    pad_v = bias[2].astype(dtype)  # [H, hd]
+    return pad_k, pad_v
+
+
+def _attn_resident_cls(
+    x: jax.Array, p: Params, cfg: SamVisionConfig, rows: int, cols: int
+) -> jax.Array:
+    """Windowed attention on one compact class tensor [N, T, C]."""
+    from ullava_tpu.ops.sam_attention import (
+        fused_window_attention_grid,
+        fused_window_attention_rect,
+    )
+
+    W = cfg.window_size
+    H, hd = cfg.num_heads, cfg.head_dim
+    y = _lin(cfg, x, p["qkv"]) + p["qkv_bias"]
+    A, Bb = _bias_terms_rect(
+        y, p["rel_pos_h"], p["rel_pos_w"], cfg, rows, cols, W
+    )
+    interp = cfg.attn_kernel == "pallas_interpret"
+    if rows == W and cols == W:
+        out = fused_window_attention_grid(
+            y, A, Bb, num_heads=H, head_dim=hd, window=W,
+            scale=hd**-0.5, interpret=interp,
+        )
+    else:
+        oh = _rect_onehot(rows, cols, W, y.dtype)
+        pad_k, pad_v = _pad_tables(p["qkv_bias"], rows, cols, W, H, hd, y.dtype)
+        out = fused_window_attention_rect(
+            y, A, Bb, oh, pad_k, pad_v, num_heads=H, head_dim=hd,
+            window=W, scale=hd**-0.5, interpret=interp,
+        )
+    return _lin(cfg, out, p["proj"]) + p["proj_bias"]
+
+
+def _block_resident(
+    xs: Dict[str, jax.Array], p: Params, cfg: SamVisionConfig
+) -> Dict[str, jax.Array]:
+    """One window-attention transformer block on the resident class dict."""
+    out = {}
+    for name, x in xs.items():
+        rows, cols = _class_geometry(name, cfg)
+        h = layer_norm(x, p["ln1_scale"], p["ln1_bias"], cfg.layer_norm_eps)
+        h = x + _attn_resident_cls(h, p, cfg, rows, cols)
+        out[name] = _mlp_tail(h, p, cfg)
+    return out
+
+
+def _use_resident(cfg: SamVisionConfig, wparams: Params) -> bool:
+    if cfg.window_layout == "block" or _is_packed(wparams, cfg):
+        return False
+    if cfg.grid // cfg.window_size == 0:
+        return False
+    if cfg.window_layout == "resident":
+        return True
+    return _use_pallas(cfg, cfg.window_size)
 
 
 def encode(
@@ -496,13 +689,25 @@ def encode(
         lambda a: a.reshape((G, per) + a.shape[1:]), params["window_blocks"]
     )
 
+    resident = _use_resident(cfg, params["window_blocks"])
+
     def group_body(h, xs):
         wparams, gparams = xs
 
-        def win_body(hh, wp):
-            return _block(hh, wp, cfg, window=True), None
+        if resident:
+            cls = _partition_resident(h, cfg.window_size)
 
-        h, _ = jax.lax.scan(win_body, h, wparams)
+            def win_body(hh, wp):
+                return _block_resident(hh, wp, cfg), None
+
+            cls, _ = jax.lax.scan(win_body, cls, wparams)
+            h = _unpartition_resident(cls, B, g, cfg.window_size)
+        else:
+
+            def win_body(hh, wp):
+                return _block(hh, wp, cfg, window=True), None
+
+            h, _ = jax.lax.scan(win_body, h, wparams)
         h = _block(h, gparams, cfg, window=False)
         return h, None
 

@@ -240,6 +240,143 @@ def flash_attention_fwd(
 
 
 # ---------------------------------------------------------------------------
+# Lane-sliced flash forward (serving prefill): consumes q/k/v in their
+# native [B, S, H, hd] row-major layout via per-head 128-lane BlockSpec
+# slices — the [B,S,H,hd] -> [B,H,S,hd] staging transposes (~100 ms per
+# B=32 7B prefill, three 84 MB HBM round trips per layer) never exist.
+# Same trick as the SAM grid kernels (`ops/sam_attention.py`). Forward
+# only: the training path keeps the transpose-based kernel whose fused
+# backward needs the saved logsumexp.
+# ---------------------------------------------------------------------------
+
+
+def _flash_bsh_kernel(
+    kv_lens_ref,  # [B] int32 SMEM
+    q_ref,  # [1, BQ, hd] lane slice at head h
+    k_ref,  # [1, BK, hd]
+    v_ref,  # [1, BK, hd]
+    o_ref,  # [1, BQ, hd]
+    m_ref, l_ref, acc_ref,
+    *, causal: bool, scale: float, block_q: int, block_k: int, q_offset: int,
+):
+    b = pl.program_id(0)
+    iq = pl.program_id(2)
+    ik = pl.program_id(3)
+    nk = pl.num_programs(3)
+
+    @pl.when(ik == 0)
+    def _init():
+        m_ref[...] = jnp.full_like(m_ref, _NEG_INF)
+        l_ref[...] = jnp.zeros_like(l_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    kv_len = kv_lens_ref[b]
+    q_start = q_offset + iq * block_q
+    k_start = ik * block_k
+
+    run = True
+    if causal:
+        run = k_start <= q_start + block_q - 1
+    run = jnp.logical_and(run, k_start < kv_len)
+
+    @pl.when(run)
+    def _compute():
+        q = q_ref[0]
+        k = k_ref[0]
+        v = v_ref[0]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+
+        k_pos = k_start + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+        mask = k_pos < kv_len
+        if causal:
+            q_pos = q_start + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 0
+            )
+            mask = jnp.logical_and(mask, k_pos <= q_pos)
+        s = jnp.where(mask, s, _NEG_INF)
+
+        m_prev = m_ref[:, :1]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        p = jnp.where(mask, p, 0.0)
+        alpha = jnp.exp(m_prev - m_new)
+        l_new = alpha * l_ref[:, :1] + jnp.sum(p, axis=-1, keepdims=True)
+        acc_ref[...] = acc_ref[...] * alpha + jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        m_ref[...] = jnp.broadcast_to(m_new, m_ref.shape)
+        l_ref[...] = jnp.broadcast_to(l_new, l_ref.shape)
+
+    @pl.when(ik == nk - 1)
+    def _finalize():
+        l = l_ref[:, :1]
+        safe_l = jnp.where(l == 0.0, 1.0, l)
+        o_ref[0] = (acc_ref[...] / safe_l).astype(o_ref.dtype)
+
+
+def flash_attention_fwd_bsh(
+    q: jax.Array,  # [B, Sq, H, hd]
+    k: jax.Array,  # [B, Sk, Hkv, hd]
+    v: jax.Array,
+    kv_lens: jax.Array,  # [B] int32
+    *,
+    causal: bool,
+    scale: float,
+    q_offset: int = 0,
+    block_q: int = 256,
+    block_k: int = 512,
+    interpret: bool = False,
+) -> jax.Array:
+    """Flash attention over row-major token layouts; returns [B, Sq, H, hd].
+    Supports GQA (k/v head picked by lane-block index map)."""
+    B, Sq, H, hd = q.shape
+    Sk, Hkv = k.shape[1], k.shape[2]
+    assert H % Hkv == 0
+    rep = H // Hkv
+    q3 = q.reshape(B, Sq, H * hd)
+    k3 = k.reshape(B, Sk, Hkv * hd)
+    v3 = v.reshape(B, Sk, Hkv * hd)
+    block_q = min(block_q, Sq)
+    block_k = min(block_k, Sk)
+
+    kernel = functools.partial(
+        _flash_bsh_kernel, causal=causal, scale=scale,
+        block_q=block_q, block_k=block_k, q_offset=q_offset,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, H, pl.cdiv(Sq, block_q), pl.cdiv(Sk, block_k)),
+        in_specs=[
+            pl.BlockSpec((1, block_q, hd), lambda b, h, iq, ik, *_: (b, iq, h)),
+            pl.BlockSpec(
+                (1, block_k, hd), lambda b, h, iq, ik, *_: (b, ik, h // rep)
+            ),
+            pl.BlockSpec(
+                (1, block_k, hd), lambda b, h, iq, ik, *_: (b, ik, h // rep)
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, block_q, hd), lambda b, h, iq, ik, *_: (b, iq, h)
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, hd), jnp.float32),
+        ],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, Sq, H * hd), q.dtype),
+        interpret=interpret,
+    )(kv_lens.astype(jnp.int32), q3, k3, v3)
+    return out.reshape(B, Sq, H, hd)
+
+
+# ---------------------------------------------------------------------------
 # Pallas flash backward (dq / dkv kernels, tiled probability recompute)
 # ---------------------------------------------------------------------------
 
@@ -444,15 +581,13 @@ def flash_attention_bwd(
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
 def _flash_attention(q, k, v, kv_lens, q_offset, causal, scale, interpret):
-    # [B, Sq, H, D] layout at the boundary; transpose for the kernel.
-    qt = q.transpose(0, 2, 1, 3)
-    kt = k.transpose(0, 2, 1, 3)
-    vt = v.transpose(0, 2, 1, 3)
-    out, _ = flash_attention_fwd(
-        qt, kt, vt, kv_lens, causal=causal, scale=scale,
+    # Primal (the no-grad serving path — custom_vjp only routes through
+    # the fwd/bwd rules under differentiation): lane-sliced kernel over
+    # the native [B, S, H, D] layout, no staging transposes.
+    return flash_attention_fwd_bsh(
+        q, k, v, kv_lens, causal=causal, scale=scale,
         q_offset=int(q_offset), interpret=interpret,
     )
-    return out.transpose(0, 2, 1, 3)
 
 
 def _flash_fwd_rule(q, k, v, kv_lens, q_offset, causal, scale, interpret):

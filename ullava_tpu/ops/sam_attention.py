@@ -218,6 +218,113 @@ def fused_window_attention_grid(
     )(y, bias_a, bias_b, oh)
 
 
+def _rect_kernel(
+    y_ref, a_ref, b_ref, oh_ref, padk_ref, padv_ref, o_ref,
+    *, num_heads: int, head_dim: int, scale: float,
+):
+    # Boundary-window attention over COMPACT tokens with IMPLICIT pad keys.
+    #
+    # The reference (`image_encoder.py:263-318`) zero-pads the grid after
+    # LN1, so every pad token's qkv input is exactly 0 and its key/value
+    # are exactly the qkv bias slices (k_pad = bias_k, v_pad = bias_v) —
+    # identical for all pad positions; only their rel-pos one-hots differ.
+    # That makes the pad contribution reconstructible from a per-layer
+    # constant table: padk [H, P, hd+2W] = [bias_k | onehot(row,col)],
+    # padv [H, hd] = bias_v. The kernel appends the P virtual keys to each
+    # window's real keys for the score dot; on the value side every pad
+    # row is the SAME vector, so the pad output is just (pad probability
+    # mass) * bias_v — a rank-1 VPU term, no v-side concat. Bit-for-bit
+    # the reference's padded softmax, with no pad tokens in HBM and no
+    # pad FLOPs in qkv/proj/MLP.
+    #
+    # y [nb, T, 3C] raw qkv output of the T = rows*cols REAL tokens
+    # (row-major over the window's real rectangle); a/b [H, nb, T, W]
+    # reversed-column bias terms pre-scaled by 1/scale; oh [T, 2W] the
+    # real tokens' one-hot table.
+    H, hd = num_heads, head_dim
+    C = H * hd
+    y = y_ref[...]
+    nb, T, _ = y.shape
+    P = padk_ref.shape[1]
+    oh = jnp.broadcast_to(oh_ref[...][None], (nb, T, oh_ref.shape[-1]))
+    for h in range(H):
+        q = y[:, :, h * hd:(h + 1) * hd]
+        k = y[:, :, C + h * hd:C + (h + 1) * hd]
+        v = y[:, :, 2 * C + h * hd:2 * C + (h + 1) * hd]
+        qa = jnp.concatenate([q, a_ref[h], b_ref[h]], axis=-1)
+        ka = jnp.concatenate([k, oh], axis=-1)  # [nb, T, hd+2W]
+        pk = jnp.broadcast_to(padk_ref[h][None], (nb, P, ka.shape[-1]))
+        ka = jnp.concatenate([ka, pk], axis=1)  # [nb, T+P, hd+2W]
+        s = jax.lax.dot_general(
+            qa, ka, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) * scale  # [nb, T, T+P]
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        o = jax.lax.dot_general(
+            p[:, :, :T].astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        # All pad values are the same bias_v vector: rank-1 correction.
+        pad_mass = jnp.sum(p[:, :, T:], axis=-1, keepdims=True)  # [nb, T, 1]
+        o = o + pad_mass * padv_ref[h].astype(jnp.float32)[None, None, :]
+        o_ref[:, :, h * hd:(h + 1) * hd] = o.astype(o_ref.dtype)
+
+
+def fused_window_attention_rect(
+    y: jax.Array,  # [N, T, 3*H*hd] qkv output, T = rows*cols real tokens
+    bias_a: jax.Array,  # [H, N, T, W] pre-scaled, reversed columns
+    bias_b: jax.Array,
+    oh: jax.Array,  # [T, 2W] real-token one-hots (reversed columns)
+    pad_k: jax.Array,  # [H, P, hd+2W] virtual pad-key annotations
+    pad_v: jax.Array,  # [H, hd] virtual pad value (bias_v, shared by pads)
+    num_heads: int,
+    head_dim: int,
+    window: int,
+    scale: float,
+    n_block: int = 4,
+    interpret: bool = False,
+) -> jax.Array:
+    """Windowed attention for BOUNDARY windows of the pad-free resident
+    layout (`image_encoder._partition_resident`): real tokens only, with
+    the reference's zero-pad keys reconstructed inside the kernel from the
+    per-layer qkv-bias table. See `_rect_kernel`."""
+    N, T, _ = y.shape
+    H, hd, W = num_heads, head_dim, window
+    while n_block > 1 and N % n_block:
+        n_block //= 2
+    kernel = functools.partial(
+        _rect_kernel, num_heads=H, head_dim=hd, scale=scale
+    )
+    bias_spec = pl.BlockSpec(
+        (H, n_block, T, W), lambda n: (0, n, 0, 0), memory_space=pltpu.VMEM
+    )
+    full = lambda a: pl.BlockSpec(
+        a.shape, lambda n: (0,) * a.ndim, memory_space=pltpu.VMEM
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(N // n_block,),
+        in_specs=[
+            pl.BlockSpec((n_block, T, 3 * H * hd), lambda n: (n, 0, 0),
+                         memory_space=pltpu.VMEM),
+            bias_spec,
+            bias_spec,
+            full(oh),
+            full(pad_k),
+            full(pad_v),
+        ],
+        out_specs=pl.BlockSpec((n_block, T, H * hd), lambda n: (n, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((N, T, H * hd), y.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(y, bias_a, bias_b, oh, pad_k, pad_v)
+
+
 def _tiled_kernel(
     q_ref, k_ref, v_ref, a_ref, b_ref, oh_ref, o_ref,
     m_ref, l_ref, acc_ref,
