@@ -410,6 +410,135 @@ def run_res(batch: int, steps: int, max_new_tokens: int = 32):
     return batch / dt, {"mfu": round(mfu, 4), "phase_split": phase}
 
 
+def run_res_e2e(batch: int, steps: int, max_new_tokens: int = 32):
+    """North-star e2e RES serving: uint8 JPEG frames in, masks out.
+
+    Host work is ONLY jpeg-decode + longest-side-1024 resize (loader
+    threads, overlapped with device compute); the CLIP white-pad/resize/
+    normalize and SAM normalize/pad run as XLA ops INSIDE the serve
+    program from one shared uint8 canvas (`ops/image_ops.py`), per
+    BASELINE.json's north-star definition. Returns (device_ips, e2e_ips):
+    device_ips stages the canvases on device first (transform + model
+    only), e2e_ips includes jpeg decode, host resize, and H2D.
+    """
+    import io
+    import queue
+    import threading
+    from concurrent.futures import ThreadPoolExecutor
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from PIL import Image
+
+    from ullava_tpu.models import generate as gen_mod
+    from ullava_tpu.models import projector as proj_mod
+    from ullava_tpu.models import ullava
+    from ullava_tpu.models.generate import GenerateConfig
+    from ullava_tpu.ops import image_ops
+
+    cfg, params = build_res(batch)
+    rng = np.random.default_rng(0)
+    P = cfg.core.vision.num_patches
+    prompt_len = P + 64
+    ids = rng.integers(5, 1000, size=(batch, prompt_len)).astype(np.int32)
+    ids[:, 1] = cfg.core.img_start_id
+    ids[:, 2 : 2 + P] = 3
+    ids[:, 2 + P] = cfg.core.img_end_id
+    ids = jnp.asarray(ids)
+    lens = jnp.full((batch,), prompt_len, jnp.int32)
+    gen = GenerateConfig(max_new_tokens=max_new_tokens, temperature=0.0)
+
+    # JPEG pool: low-frequency content at camera-ish resolution so decode
+    # cost is realistic (pure noise inflates jpeg entropy 3-4x).
+    n_pool = 48
+    jpegs = []
+    for _ in range(n_pool):
+        small = rng.integers(0, 256, (30, 40, 3)).astype(np.uint8)
+        img = Image.fromarray(small).resize((640, 480), Image.BILINEAR)
+        buf = io.BytesIO()
+        img.save(buf, "JPEG", quality=85)
+        jpegs.append(buf.getvalue())
+
+    @jax.jit
+    def serve_llm(p, ids, lens, canvas, sizes):
+        clip_px = image_ops.clip_preprocess(canvas, sizes)
+        out = gen_mod.generate(
+            p["core"], cfg.core, gen,
+            input_ids=ids, prompt_lens=lens, images=clip_px,
+        )
+        seg_h, seg_valid = gen_mod.readout_token_hidden(
+            out["sequences"], out["hidden_last"], out["lengths"],
+            cfg.seg_token_idx, cfg.max_masks,
+        )
+        seg_embeds = proj_mod.apply_text_head(
+            p["seg_projector"], seg_h.astype(jnp.float32)
+        )
+        return out["lengths"], seg_embeds
+
+    @jax.jit
+    def serve_sam(p, canvas, sizes, seg_embeds):
+        sam_px = image_ops.sam_preprocess(canvas, sizes)
+        emb = ullava.get_visual_embs(p, cfg, sam_px)
+        from ullava_tpu.models.sam import build as sam_build
+
+        low, iou = sam_build.forward_masks(p["sam"], cfg.sam, emb, seg_embeds)
+        return low
+
+    def serve(p, ids, lens, canvas, sizes):
+        lengths, seg_embeds = serve_llm(p, ids, lens, canvas, sizes)
+        low = serve_sam(p, canvas, sizes, seg_embeds)
+        return lengths, low
+
+    pool = ThreadPoolExecutor(max_workers=8)
+
+    def decode_one(i):
+        img = np.asarray(Image.open(io.BytesIO(jpegs[i % n_pool])).convert("RGB"))
+        return image_ops.make_canvas(img)
+
+    def host_batch(step):
+        outs = list(pool.map(decode_one, range(step * batch, (step + 1) * batch)))
+        canvas = np.stack([o[0] for o in outs])
+        sizes = np.asarray([o[1] for o in outs], np.int32)
+        return canvas, sizes
+
+    # --- device-only (canvases staged): transform + model ---
+    c0, s0 = host_batch(0)
+    c0d, s0d = jax.device_put(c0), jax.device_put(s0)
+    lengths, low = serve(params, ids, lens, c0d, s0d)
+    jax.block_until_ready(low)
+    _ = float(lengths[0])
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        lengths, low = serve(params, ids, lens, c0d, s0d)
+    jax.block_until_ready(low)
+    _ = float(lengths[0])
+    device_ips = batch / ((time.perf_counter() - t0) / steps)
+
+    # --- e2e: loader thread decodes batch n+1 while device runs batch n ---
+    q: "queue.Queue" = queue.Queue(maxsize=2)
+
+    def producer():
+        for step in range(steps + 1):
+            q.put(host_batch(step))
+
+    th = threading.Thread(target=producer, daemon=True)
+    t0 = time.perf_counter()
+    th.start()
+    outs = None
+    for _ in range(steps + 1):
+        canvas, sizes = q.get()
+        outs = serve(params, ids, lens, jax.device_put(canvas), jax.device_put(sizes))
+    jax.block_until_ready(outs[1])
+    _ = float(outs[0][0])
+    # first batch has no overlap headroom; bill steps batches over the
+    # full span minus nothing (conservative: includes pipeline fill)
+    e2e_ips = (batch * (steps + 1)) / (time.perf_counter() - t0)
+    th.join()
+    pool.shutdown()
+    return device_ips, e2e_ips
+
+
 def run_stage2(batch: int, steps: int, seq: int = 512):
     """Stage-2 LoRA training step at reference scale on one chip:
     SAM ViT-H encode (Pallas kernels) + CLIP + 7B LoRA fwd/bwd + mask
@@ -539,6 +668,22 @@ def _retry_in_subprocess(batches) -> bool:
 
 def main():
     preset = os.environ.get("BENCH_PRESET", "res")
+    if preset == "res_e2e":
+        steps = int(os.environ.get("BENCH_STEPS", "3"))
+        b = int(os.environ.get("BENCH_BATCH", "32"))
+        device_ips, e2e_ips = run_res_e2e(b, steps)
+        print(json.dumps({
+            "metric": (
+                "RES serving e2e (jpeg in -> on-device CLIP/SAM transforms "
+                f"-> masks out, bsz {b})"
+            ),
+            "value": round(e2e_ips, 3),
+            "unit": "images/sec/chip",
+            "vs_baseline": round(e2e_ips / A100_BASELINE, 3),
+            "comparison_basis": COMPARISON_BASIS,
+            "device_only_with_transforms": round(device_ips, 3),
+        }))
+        return
     if preset == "stage2":
         steps = int(os.environ.get("BENCH_STEPS", "3"))
         batches = (
@@ -629,6 +774,25 @@ def main():
                     }
                 except Exception as e:
                     record["secondary"] = {"error": str(e)[-300:]}
+            if os.environ.get("BENCH_E2E", "1") == "1":
+                # e2e ingest run in a fresh subprocess (own TPU arena).
+                import subprocess
+
+                env = dict(os.environ)
+                env.update(BENCH_PRESET="res_e2e", BENCH_BATCH=str(b),
+                           BENCH_SECONDARY="0", BENCH_E2E="0")
+                try:
+                    proc = subprocess.run(
+                        [sys.executable, os.path.abspath(__file__)],
+                        env=env, capture_output=True, text=True, timeout=1800,
+                    )
+                    record["e2e"] = (
+                        json.loads(proc.stdout.strip().splitlines()[-1])
+                        if proc.returncode == 0 and proc.stdout.strip()
+                        else {"error": (proc.stderr or "")[-300:]}
+                    )
+                except Exception as e:
+                    record["e2e"] = {"error": str(e)[-300:]}
             print(json.dumps(record))
             return
         raise SystemExit(f"res bench failed: {last_err}")

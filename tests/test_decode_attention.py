@@ -9,6 +9,7 @@ import numpy as np
 from ullava_tpu.models import llama
 from ullava_tpu.ops.decode_attention import (
     decode_attention_int8,
+    decode_attention_int8_fused_write,
     decode_attention_int8_xla,
     quantize_kv_rows,
 )
@@ -48,6 +49,50 @@ def test_decode_kernel_single_block():
         q, kq, vq, ks, vs, lens, layer, scale=scale, interpret=True
     )
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+
+def test_fused_write_kernel_matches_scatter_then_attend():
+    """Write-and-attend parity: the fused kernel's attention output AND its
+    in-kernel cache-row writes must match the XLA quantize-scatter + attend
+    sequence exactly (same dequantize-in-dot math)."""
+    rng = np.random.default_rng(6)
+    L, B, S, H, hd = 3, 4, 256, 4, 128
+    C = H * hd
+    q = jnp.asarray(rng.standard_normal((B, 1, H, hd)), jnp.float32)
+    hist = jnp.asarray(rng.standard_normal((L, B, S, H, hd)), jnp.float32)
+    kq0, ks0 = quantize_kv_rows(hist)
+    vq0, vs0 = quantize_kv_rows(hist[::-1])
+    cache_k = kq0.reshape(L, B, S, C)
+    cache_v = vq0.reshape(L, B, S, C)
+    write_pos = jnp.asarray([S // 2, S - 1, 7, 100], jnp.int32)
+    lens = write_pos + 1
+    layer = jnp.int32(1)
+    scale = hd**-0.5
+    k_new = jnp.asarray(rng.standard_normal((B, H, hd)), jnp.float32)
+    v_new = jnp.asarray(rng.standard_normal((B, H, hd)), jnp.float32)
+    kqn, ksn = quantize_kv_rows(k_new)
+    vqn, vsn = quantize_kv_rows(v_new)
+
+    # Reference: scatter the quantized row, then attend over the cache.
+    b_idx = jnp.arange(B)
+    rk = cache_k.at[layer, b_idx, write_pos].set(kqn.reshape(B, C))
+    rv = cache_v.at[layer, b_idx, write_pos].set(vqn.reshape(B, C))
+    rks = ks0.at[layer, b_idx, write_pos].set(ksn)
+    rvs = vs0.at[layer, b_idx, write_pos].set(vsn)
+    ref = decode_attention_int8_xla(
+        q, rk, rv, rks, rvs, lens, layer, scale=scale
+    )
+
+    attn, ck, cv, cks, cvs = decode_attention_int8_fused_write(
+        q, kqn.reshape(B, C), ksn, vqn.reshape(B, C), vsn,
+        cache_k, cache_v, ks0, vs0, write_pos, layer,
+        scale=scale, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(attn), np.asarray(ref), atol=2e-5)
+    np.testing.assert_array_equal(np.asarray(ck), np.asarray(rk))
+    np.testing.assert_array_equal(np.asarray(cv), np.asarray(rv))
+    np.testing.assert_allclose(np.asarray(cks), np.asarray(rks), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(cvs), np.asarray(rvs), rtol=1e-6)
 
 
 def test_quantize_kv_rows_roundtrip():

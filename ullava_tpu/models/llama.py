@@ -124,7 +124,10 @@ def init_kv_cache(
     if cfg.kv_quant:
         # Heads pre-merged on the minor dim ([L, B, S, H*hd]): exactly the
         # layout the fused decode kernel reads, so no per-layer lane-merge
-        # relayouts exist on the decode path.
+        # relayouts exist on the decode path. Length rounds up to a sublane
+        # multiple — the write-and-attend kernel emits 8-row stripes.
+        max_len = (max_len + 7) // 8 * 8
+        shape = (cfg.num_layers, batch, max_len, cfg.num_kv_heads, cfg.head_dim)
         merged = shape[:-2] + (shape[-2] * shape[-1],)
         return {
             "k": jnp.zeros(merged, jnp.int8),
@@ -195,32 +198,46 @@ def _layer(
             cache = dict(cache)
             if quant_cache:
                 from ullava_tpu.ops.decode_attention import (
-                    decode_attention_int8,
+                    decode_attention_int8_fused_write,
                     decode_attention_int8_xla,
                     quantize_kv_rows,
                 )
 
                 kq, ks = quantize_kv_rows(k[:, 0])  # [B, Hkv, hd] rows
                 vq, vs = quantize_kv_rows(v[:, 0])
-                cache["k"] = cache["k"].at[layer_idx, b_idx, write_pos].set(
-                    kq.reshape(B, Hkv * hd)
-                )
-                cache["v"] = cache["v"].at[layer_idx, b_idx, write_pos].set(
-                    vq.reshape(B, Hkv * hd)
-                )
-                cache["k_scale"] = (
-                    cache["k_scale"].at[layer_idx, b_idx, write_pos].set(ks)
-                )
-                cache["v_scale"] = (
-                    cache["v_scale"].at[layer_idx, b_idx, write_pos].set(vs)
-                )
                 fused = Hkv == H and _on_tpu()
-                fn = decode_attention_int8 if fused else decode_attention_int8_xla
-                attn = fn(
-                    q, cache["k"], cache["v"],
-                    cache["k_scale"], cache["v_scale"],
-                    kv_lens, layer_idx, scale=hd**-0.5,
-                )
+                if fused:
+                    # Write-and-attend: the new row reaches HBM through the
+                    # kernel's aliased output windows — no XLA scatters, one
+                    # cache pass per step (round-2's separate quantize-scatter
+                    # + attend cost ~14 ms/step extra at 7B/B=32).
+                    attn, ck, cv, cks, cvs = decode_attention_int8_fused_write(
+                        q, kq.reshape(B, Hkv * hd), ks,
+                        vq.reshape(B, Hkv * hd), vs,
+                        cache["k"], cache["v"],
+                        cache["k_scale"], cache["v_scale"],
+                        write_pos, layer_idx, scale=hd**-0.5,
+                    )
+                    cache["k"], cache["v"] = ck, cv
+                    cache["k_scale"], cache["v_scale"] = cks, cvs
+                else:
+                    cache["k"] = cache["k"].at[layer_idx, b_idx, write_pos].set(
+                        kq.reshape(B, Hkv * hd)
+                    )
+                    cache["v"] = cache["v"].at[layer_idx, b_idx, write_pos].set(
+                        vq.reshape(B, Hkv * hd)
+                    )
+                    cache["k_scale"] = (
+                        cache["k_scale"].at[layer_idx, b_idx, write_pos].set(ks)
+                    )
+                    cache["v_scale"] = (
+                        cache["v_scale"].at[layer_idx, b_idx, write_pos].set(vs)
+                    )
+                    attn = decode_attention_int8_xla(
+                        q, cache["k"], cache["v"],
+                        cache["k_scale"], cache["v_scale"],
+                        kv_lens, layer_idx, scale=hd**-0.5,
+                    )
             else:
                 cache["k"] = cache["k"].at[layer_idx, b_idx, write_pos].set(
                     k[:, 0].astype(cache["k"].dtype)

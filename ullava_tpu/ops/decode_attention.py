@@ -184,6 +184,214 @@ def decode_attention_int8(
     return out.reshape(B, 1, H, hd)
 
 
+def _fused_write_kernel(
+    l_ref,  # [1] int32 scalar-prefetch: layer index
+    wp_ref,  # [B] int32 scalar-prefetch: per-row write position (feeds the
+    #          cache-row output index maps AND the staleness mask)
+    q_ref,  # [1, H, hd] q.dtype
+    kq_ref,  # [1, 1, C] int8: quantized new key row (heads merged on lanes)
+    ksn_ref,  # [1, 1, H] f32: its per-head scales
+    vq_ref,  # [1, 1, C] int8
+    vsn_ref,  # [1, 1, H] f32
+    k_ref,  # [1, 1, S, C] int8 (this layer's cache rows for this sample)
+    v_ref,  # [1, 1, S, C] int8
+    ks_ref,  # [1, 1, S, H] f32
+    vs_ref,  # [1, 1, S, H] f32
+    o_ref,  # [1, 1, C] attention output
+    ok_ref,  # [1, 1, 8, C] int8: cache write stripe (aliased with k_ref's buffer)
+    ov_ref,  # [1, 1, 8, C] int8
+    oks_ref,  # [1, 1, 8, H] f32
+    ovs_ref,  # [1, 1, 8, H] f32
+    *,
+    num_heads: int,
+    head_dim: int,
+    scale: float,
+):
+    # One program = one batch row. The new token's K/V row never round-trips
+    # through an XLA scatter: this kernel is the only HBM pass — it reads the
+    # historical cache block, attends (with the current token's score computed
+    # from the in-VMEM new row), and DMAs the row out through an aliased
+    # 8-row output stripe (Mosaic requires sublane-multiple windows; the
+    # other 7 rows are re-emitted from the in-VMEM input block), whose index
+    # maps target (layer, b, write_pos[b] // 8) via scalar prefetch.
+    ib = pl.program_id(0)
+    H, hd = num_heads, head_dim
+    C = H * hd
+    rowc = jax.lax.broadcasted_iota(jnp.int32, (C, H), 0)
+    rowh = jax.lax.broadcasted_iota(jnp.int32, (H, C), 0)
+    colc = jax.lax.broadcasted_iota(jnp.int32, (H, C), 1)
+    emask = (colc // hd == rowh).astype(q_ref.dtype)  # [H, C] expansion
+    q = q_ref[0]  # [H, hd]
+    qT = jax.lax.transpose(q, (1, 0))  # [hd, H] (tiny)
+    qrep = jnp.concatenate([qT] * H, axis=0)  # [C, H]: row c -> q[:, c%hd]
+    W = jnp.where(rowc // hd == jax.lax.broadcasted_iota(jnp.int32, (C, H), 1),
+                  qrep, jnp.zeros((), q.dtype))
+    k2 = k_ref[0, 0].astype(q.dtype)  # [S, C]
+    sc = jax.lax.dot_general(
+        k2, W, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+    )  # [S, H]
+    sc = sc * (ks_ref[0, 0] * scale)
+    # Rows at/after write_pos are stale (the new row is added in-register
+    # below, before it ever reaches HBM).
+    wp = wp_ref[ib]
+    pos = jax.lax.broadcasted_iota(jnp.int32, sc.shape, 0)
+    sc = jnp.where(pos < wp, sc, _NEG_INF)
+    # Current token's score/value from the quantized new row — identical
+    # math to a cache row (dequantize-in-dot + fp32 scale fold), so the
+    # result is bit-comparable to attending over the written cache.
+    kqf = kq_ref[0].astype(q.dtype)  # [1, C]
+    s_cur = jax.lax.dot_general(
+        kqf, W, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+    ) * (ksn_ref[0] * scale)  # [1, H]
+    m = jnp.maximum(jnp.max(sc, axis=0, keepdims=True), s_cur)
+    p = jnp.exp(sc - m)  # [S, H]
+    p_cur = jnp.exp(s_cur - m)  # [1, H]
+    denom = jnp.sum(p, axis=0, keepdims=True) + p_cur  # [1, H]
+    pv = (p * vs_ref[0, 0]).astype(q.dtype)  # [S, H]
+    pvE = jax.lax.dot_general(
+        pv, emask, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+    )  # [S, C]
+    o = jnp.sum(pvE * v_ref[0, 0].astype(jnp.float32), axis=0, keepdims=True)
+    pvc = (p_cur * vsn_ref[0]).astype(q.dtype)  # [1, H]
+    pvcE = jax.lax.dot_general(
+        pvc, emask, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+    )  # [1, C]
+    o = o + pvcE * vq_ref[0].astype(jnp.float32)
+    denomE = jax.lax.dot_general(
+        denom.astype(q.dtype), emask, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [1, C]
+    o_ref[0] = (o / denomE).astype(o_ref.dtype)
+    # Cache writes: re-emit the 8-row sublane stripe containing write_pos
+    # with row wp%8 replaced by the new row. Placement happens in the
+    # output index maps; every output block is written once per program.
+    base = (wp // 8) * 8
+    off = wp - base
+    stripe_k = k_ref[0, 0, pl.ds(base, 8), :]  # [8, C]
+    stripe_v = v_ref[0, 0, pl.ds(base, 8), :]
+    stripe_ks = ks_ref[0, 0, pl.ds(base, 8), :]  # [8, H]
+    stripe_vs = vs_ref[0, 0, pl.ds(base, 8), :]
+    selC = jax.lax.broadcasted_iota(jnp.int32, (8, C), 0) == off
+    selH = jax.lax.broadcasted_iota(jnp.int32, (8, H), 0) == off
+    ok_ref[0, 0] = jnp.where(selC, jnp.broadcast_to(kq_ref[0], (8, C)), stripe_k)
+    ov_ref[0, 0] = jnp.where(selC, jnp.broadcast_to(vq_ref[0], (8, C)), stripe_v)
+    oks_ref[0, 0] = jnp.where(selH, jnp.broadcast_to(ksn_ref[0], (8, H)), stripe_ks)
+    ovs_ref[0, 0] = jnp.where(selH, jnp.broadcast_to(vsn_ref[0], (8, H)), stripe_vs)
+
+
+def decode_attention_int8_fused_write(
+    q: jax.Array,  # [B, 1, H, hd]
+    kq_new: jax.Array,  # [B, C] int8 quantized new key rows (lanes merged)
+    ks_new: jax.Array,  # [B, H] f32
+    vq_new: jax.Array,  # [B, C] int8
+    vs_new: jax.Array,  # [B, H] f32
+    cache_k: jax.Array,  # [L, B, maxS, C] int8 — donated, returned updated
+    cache_v: jax.Array,  # [L, B, maxS, C] int8
+    k_scale: jax.Array,  # [L, B, maxS, H] f32
+    v_scale: jax.Array,  # [L, B, maxS, H] f32
+    write_pos: jax.Array,  # [B] int32 current token's cache position
+    layer_idx: jax.Array,  # [] int32
+    *,
+    scale: float,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Single-token decode attention that also WRITES the new KV row.
+
+    Replaces the XLA quantize-scatter (4 scatters + a full kernel launch
+    chain, ~14 ms/step at 7B/B=32) with in-kernel row writes through
+    aliased output windows: the cache makes exactly one HBM pass per
+    step. Returns (attn [B,1,H,hd], cache_k', cache_v', k_scale',
+    v_scale') — the cache operands are aliased in place under jit.
+
+    Replaces the KV-cache append + SDPA of the reference's HF `generate`
+    loop (`/root/reference/models/ullava.py:350-362`).
+    """
+    B, S1, H, hd = q.shape
+    assert S1 == 1
+    L, _, maxS, C = cache_k.shape
+    assert maxS % 8 == 0, "int8 KV cache length must be a sublane multiple"
+    qs = q[:, 0]
+
+    kv_spec = pl.BlockSpec(
+        (1, 1, maxS, C), lambda b, l_ref, wp_ref: (l_ref[0], b, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    sc_spec = pl.BlockSpec(
+        (1, 1, maxS, H), lambda b, l_ref, wp_ref: (l_ref[0], b, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    # Write windows are 8-row sublane stripes (Mosaic minimum); the block
+    # index along maxS is in stripe units, so write_pos//8 addresses it.
+    row_spec = lambda w: pl.BlockSpec(  # noqa: E731
+        (1, 1, 8, w),
+        lambda b, l_ref, wp_ref: (l_ref[0], b, wp_ref[b] // 8, 0),
+        memory_space=pltpu.VMEM,
+    )
+    new_spec = lambda w: pl.BlockSpec(  # noqa: E731
+        (1, 1, w), lambda b, l_ref, wp_ref: (b, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, H, hd), lambda b, l_ref, wp_ref: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            new_spec(C),
+            new_spec(H),
+            new_spec(C),
+            new_spec(H),
+            kv_spec,
+            kv_spec,
+            sc_spec,
+            sc_spec,
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, C), lambda b, l_ref, wp_ref: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            row_spec(C),
+            row_spec(C),
+            row_spec(H),
+            row_spec(H),
+        ],
+    )
+    outs = pl.pallas_call(
+        functools.partial(
+            _fused_write_kernel, num_heads=H, head_dim=hd, scale=scale
+        ),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((B, 1, C), q.dtype),
+            jax.ShapeDtypeStruct(cache_k.shape, cache_k.dtype),
+            jax.ShapeDtypeStruct(cache_v.shape, cache_v.dtype),
+            jax.ShapeDtypeStruct(k_scale.shape, jnp.float32),
+            jax.ShapeDtypeStruct(v_scale.shape, jnp.float32),
+        ],
+        # Flattened input indices INCLUDING the 2 scalar-prefetch operands:
+        # 0=layer 1=write_pos 2=q 3=kq 4=ks 5=vq 6=vs
+        # 7=cache_k 8=cache_v 9=k_scale 10=v_scale.
+        input_output_aliases={7: 1, 8: 2, 9: 3, 10: 4},
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(
+        layer_idx.reshape(1).astype(jnp.int32),
+        write_pos.astype(jnp.int32),
+        qs,
+        kq_new.reshape(B, 1, C),
+        ks_new.reshape(B, 1, H).astype(jnp.float32),
+        vq_new.reshape(B, 1, C),
+        vs_new.reshape(B, 1, H).astype(jnp.float32),
+        cache_k,
+        cache_v,
+        k_scale.astype(jnp.float32),
+        v_scale.astype(jnp.float32),
+    )
+    attn, ck, cv, cks, cvs = outs
+    return attn.reshape(B, 1, H, hd), ck, cv, cks, cvs
+
+
 def decode_attention_int8_xla(
     q, cache_k, cache_v, k_scale, v_scale, kv_lens, layer_idx, *, scale: float
 ) -> jax.Array:
