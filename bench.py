@@ -185,13 +185,13 @@ def build_res(batch: int):
             # materialization) + bf16 rope (no fp32 q/k staging).
             attn_impl=os.environ.get("BENCH_LLM_ATTN", "flash"),
             rope_f32=os.environ.get("BENCH_ROPE_F32", "0") == "1",
-            # int8 KV cache + fused dequantizing decode attention
-            # (BENCH_KV8=1 to enable). Off by default: it halves the
-            # multi-GB cache allocation, but the measured decode step is
-            # slower than the bf16 cache (31.7 vs ~18 ms at B=32 - the
-            # quantize-scatter and kernel overheads exceed the ~3.5 ms
-            # of saved KV reads), so it is a memory knob, not a speed one.
-            kv_quant=os.environ.get("BENCH_KV8", "0") == "1",
+            # int8 KV cache, default ON (BENCH_KV8=0 for bf16): the fused
+            # write-and-attend kernel (round 3) quantizes/writes the new
+            # row inside the decode-attention pass, so the int8 decode step
+            # now matches bf16's at B=32 while halving cache HBM — which is
+            # what lets B=48 fit (bf16 KV OOMs there) and sets the bench's
+            # best measured point (11.38 img/s at B=48 vs 11.17 at B=32).
+            kv_quant=os.environ.get("BENCH_KV8", "1") == "1",
         ),
         vision=clip_vit.CLIPVisionConfig(dtype=jnp.bfloat16),
         vision_hidden_layer=-2,
@@ -716,11 +716,11 @@ def main():
         raise SystemExit(f"stage2 bench failed: {last_err}")
     if preset == "res":
         steps = int(os.environ.get("BENCH_STEPS", "3"))
-        # B=32 is the measured single-v5e optimum (decode weight reads
-        # amortize over more images); B=48 OOMs on the bf16 KV cache.
+        # B=48 fits only with the int8 KV cache (default); the ladder
+        # falls back on OOM.
         batches = (
             [int(os.environ["BENCH_BATCH"])]
-            if "BENCH_BATCH" in os.environ else [32, 16, 8, 4, 2, 1]
+            if "BENCH_BATCH" in os.environ else [48, 32, 16, 8, 4, 2, 1]
         )
         last_err = None
         for i, b in enumerate(batches):

@@ -76,6 +76,14 @@ def test_webui_chat_seg(image_file):
     assert set(out) == {"text", "masks", "boxes"}
     for m in out["masks"]:
         assert m.shape == (40, 56)
+    # On-device preprocessing path: same text (greedy decode is robust to
+    # the sub-pixel CLIP resampler difference on a tiny random model only
+    # if the towers are identical; just assert the contract holds).
+    out2 = chat.seg(img, "Find the thing .", temperature=0.0,
+                    max_new_tokens=5, device_preprocess=True)
+    assert set(out2) == {"text", "masks", "boxes"}
+    for m in out2["masks"]:
+        assert m.shape == (40, 56)
 
 
 def test_quantized_serving_build(image_file):

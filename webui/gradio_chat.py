@@ -29,8 +29,15 @@ class Chat:
         self.conv_type = model_cfg.get("conv_type", "conv_sep2")
 
     def seg(self, image: np.ndarray, query: str, temperature: float = 0.2,
-            top_p=None, max_new_tokens: int = 64):
-        """image: RGB uint8 array. Returns dict(text, masks, boxes)."""
+            top_p=None, max_new_tokens: int = 64,
+            device_preprocess: bool = False):
+        """image: RGB uint8 array. Returns dict(text, masks, boxes).
+
+        device_preprocess=True ships one uint8 canvas and runs the CLIP
+        white-pad/resize/normalize + SAM normalize/pad as XLA ops on the
+        accelerator (`ops/image_ops.py`) — 4x less H2D traffic and no
+        host float preprocess; the host keeps only jpeg-decode + one
+        longest-side resize."""
         import jax.numpy as jnp
 
         from ullava_tpu.conversation import conversation_lib
@@ -51,10 +58,26 @@ class Chat:
         ids = np.asarray(self.tokenizer(conv.get_prompt())["input_ids"], np.int32)
 
         height, width = image.shape[:2]
-        clip_proc = CLIPProcessor(core_cfg.vision.image_size, aspect_ratio="pad")
         seg_tool = SegToolBox(sam_size=u_cfg.sam.vision.img_size)
-        resized = seg_tool.apply_image(image)
-        resize = resized.shape[:2]
+        if device_preprocess:
+            import jax
+
+            from ullava_tpu.ops import image_ops
+
+            canvas, hw = image_ops.make_canvas(image, u_cfg.sam.vision.img_size)
+            resize = hw
+            images, images_sam = jax.jit(
+                image_ops.preprocess_canvas, static_argnums=(2,)
+            )(
+                jnp.asarray(canvas[None]), jnp.asarray([hw], np.int32),
+                core_cfg.vision.image_size,
+            )
+        else:
+            clip_proc = CLIPProcessor(core_cfg.vision.image_size, aspect_ratio="pad")
+            resized = seg_tool.apply_image(image)
+            resize = resized.shape[:2]
+            images = jnp.asarray(clip_proc(image)[None])
+            images_sam = jnp.asarray(seg_tool.preprocess(resized)[None])
 
         out = ullava.evaluate(
             self.params, u_cfg,
@@ -66,8 +89,8 @@ class Chat:
             ),
             input_ids=jnp.asarray(ids[None]),
             prompt_lens=jnp.asarray([len(ids)], np.int32),
-            images=jnp.asarray(clip_proc(image)[None]),
-            images_sam=jnp.asarray(seg_tool.preprocess(resized)[None]),
+            images=images,
+            images_sam=images_sam,
         )
         T = int(out["lengths"][0])
         text = self.tokenizer.decode(
