@@ -77,7 +77,13 @@ def build(preset: str):
         cfg = ullava_core.UllavaCoreConfig(
             llm=llama.LlamaConfig(dtype=jnp.bfloat16, remat=True,
                                   remat_policy=remat_policy,
-                                  attn_impl=os.environ.get("BENCH_ATTN", "auto")),
+                                  attn_impl=os.environ.get("BENCH_ATTN", "auto"),
+                                  # bf16 rope (serving default): the f32
+                                  # q/k staging costs ~11% of the seq-1024
+                                  # step (traced); HF-parity tests pass at
+                                  # bf16 tolerance either way.
+                                  rope_f32=os.environ.get(
+                                      "BENCH_ROPE_F32", "0") == "1"),
             vision=clip_vit.CLIPVisionConfig(dtype=jnp.bfloat16),
             vision_hidden_layer=-2,
             img_start_id=32001,

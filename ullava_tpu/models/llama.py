@@ -205,7 +205,22 @@ def _layer(
 
                 kq, ks = quantize_kv_rows(k[:, 0])  # [B, Hkv, hd] rows
                 vq, vs = quantize_kv_rows(v[:, 0])
+                # PERF CLIFF: the fused write-and-attend kernel requires
+                # MHA (Hkv == H; the reference LLaMA-7B). GQA/MQA configs
+                # fall back to an XLA dequant path that materializes the
+                # bf16 cache in HBM each step — costlier than a bf16 cache.
+                # For GQA serving, prefer kv_quant=False until a grouped-KV
+                # kernel variant lands (see ops/decode_attention.py).
                 fused = Hkv == H and _on_tpu()
+                if not fused and _on_tpu():
+                    import warnings
+
+                    warnings.warn(
+                        "int8 KV cache with num_kv_heads != num_heads uses "
+                        "the slow XLA dequant fallback; use kv_quant=False "
+                        "for GQA serving.",
+                        stacklevel=2,
+                    )
                 if fused:
                     # Write-and-attend: the new row reaches HBM through the
                     # kernel's aliased output windows — no XLA scatters, one
