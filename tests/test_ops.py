@@ -220,3 +220,38 @@ def test_fused_mlp_block_w8a8_close():
     scale = np.abs(ref).max()
     assert err.max() / scale < 0.02, (err.max(), scale)
     assert err.mean() / scale < 0.002, (err.mean(), scale)
+
+
+def test_fused_ln_linear_matches_xla_interpret():
+    import jax.numpy as jnp
+
+    from ullava_tpu.ops.mlp_kernel import fused_ln_linear
+    from ullava_tpu.ops.norms import layer_norm
+
+    rng = np.random.default_rng(11)
+    N, T, C, F = 4, 196, 256, 384
+    x = jnp.asarray(rng.standard_normal((N, T, C)), jnp.float32)
+    lns = jnp.asarray(rng.standard_normal((C,)), jnp.float32)
+    lnb = jnp.asarray(rng.standard_normal((C,)), jnp.float32)
+    w = jnp.asarray(rng.integers(-127, 127, (C, F)), jnp.int8)
+    ws = jnp.asarray(rng.random((1, F)) * 0.02, jnp.float32)
+    b = jnp.asarray(rng.standard_normal((F,)), jnp.float32)
+
+    normed = layer_norm(x, lns, lnb, 1e-6)
+    ref = normed @ (w.astype(jnp.float32) * ws) + b
+
+    # weight-only path: bit-comparable to the XLA reference
+    got = fused_ln_linear(x, lns, lnb, w, ws, b, 1e-6, w8a8=False,
+                          interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-2, atol=2e-2)
+    # w8a8 path: adds per-row int8 activation error only
+    got8 = fused_ln_linear(x, lns, lnb, w, ws, b, 1e-6, w8a8=True,
+                           interpret=True)
+    denom = np.abs(np.asarray(ref)).mean()
+    assert np.abs(np.asarray(got8) - np.asarray(ref)).mean() / denom < 0.02
+    # 2-D flat form
+    got2 = fused_ln_linear(x[0], lns, lnb, w, ws, b, 1e-6, w8a8=False,
+                           interpret=True)
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(ref[0]),
+                               rtol=2e-2, atol=2e-2)

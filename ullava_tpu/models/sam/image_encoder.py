@@ -628,7 +628,25 @@ def _attn_resident_cls(
 
     W = cfg.window_size
     H, hd = cfg.num_heads, cfg.head_dim
-    y = _lin(cfg, x, p["qkv"]) + p["qkv_bias"]
+    from ullava_tpu.ops.quant import is_quantized
+
+    if _use_pallas(cfg, W) and is_quantized(p["qkv"]):
+        # LN1 + qkv in one kernel: kills the fp32 LN HBM passes AND the
+        # batched-conv relayout of the 196-token class tensors (196 is
+        # not tile-aligned, so any flat reshape is a real copy), and the
+        # dot runs int8 x int8. Layout-preserving: y comes out [N, T, 3C]
+        # exactly as the bias/attention kernels consume it.
+        from ullava_tpu.ops.mlp_kernel import fused_ln_linear
+
+        y = fused_ln_linear(
+            x, p["ln1_scale"], p["ln1_bias"],
+            p["qkv"]["q"], p["qkv"]["scale"], p["qkv_bias"],
+            cfg.layer_norm_eps, w8a8=cfg.mlp_w8a8,
+            interpret=(cfg.attn_kernel == "pallas_interpret"),
+        )
+    else:
+        h = layer_norm(x, p["ln1_scale"], p["ln1_bias"], cfg.layer_norm_eps)
+        y = _lin(cfg, h, p["qkv"]) + p["qkv_bias"]
     A, Bb = _bias_terms_rect(
         y, p["rel_pos_h"], p["rel_pos_w"], cfg, rows, cols, W
     )
@@ -655,8 +673,9 @@ def _block_resident(
     out = {}
     for name, x in xs.items():
         rows, cols = _class_geometry(name, cfg)
-        h = layer_norm(x, p["ln1_scale"], p["ln1_bias"], cfg.layer_norm_eps)
-        h = x + _attn_resident_cls(h, p, cfg, rows, cols)
+        # LN1 happens inside _attn_resident_cls (fused into the qkv
+        # projection on the serving path).
+        h = x + _attn_resident_cls(x, p, cfg, rows, cols)
         out[name] = _mlp_tail(h, p, cfg)
     return out
 

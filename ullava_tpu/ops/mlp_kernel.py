@@ -206,3 +206,105 @@ def fused_mlp_block(
         w2_q, w2_scale.reshape(1, C).astype(jnp.float32), b2.reshape(1, C),
     )
     return out
+
+
+def _ln_linear_kernel(
+    x_ref,  # [Wb, T, C] (3-D path) or [block_t, C] (2-D path)
+    ln_s_ref, ln_b_ref,
+    w_ref, s_ref, b_ref,
+    o_ref,
+    *, eps: float, w8a8: bool,
+):
+    def one(x, o_store):
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.var(xf, axis=-1, keepdims=True)
+        normed = (xf - mean) * jax.lax.rsqrt(var + eps)
+        normed = normed * ln_s_ref[...].astype(jnp.float32) + ln_b_ref[
+            ...
+        ].astype(jnp.float32)
+        if w8a8:
+            xq, xs = _row_quant(normed)
+            y = jax.lax.dot_general(
+                xq, w_ref[...], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.float32)
+            y = y * (xs * s_ref[...]) + b_ref[...].astype(jnp.float32)
+        else:
+            w = w_ref[...].astype(o_ref.dtype)
+            y = jax.lax.dot_general(
+                normed.astype(o_ref.dtype), w, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            y = y * s_ref[...] + b_ref[...].astype(jnp.float32)
+        o_store(y.astype(o_ref.dtype))
+
+    if x_ref.ndim == 3:
+        for wi in range(x_ref.shape[0]):
+            one(x_ref[wi], lambda y, wi=wi: o_ref.__setitem__(wi, y))
+    else:
+        one(x_ref[...], lambda y: o_ref.__setitem__(Ellipsis, y))
+
+
+def fused_ln_linear(
+    x: jax.Array,  # [N, T, C] window-major classes, or [T, C] flat tokens
+    ln_scale: jax.Array,  # [C]
+    ln_bias: jax.Array,  # [C]
+    w_q: jax.Array,  # [C, F] int8
+    w_scale: jax.Array,  # [1, F] f32
+    bias: jax.Array,  # [F]
+    eps: float,
+    w8a8: bool = True,
+    interpret: bool = False,
+) -> jax.Array:
+    """LN(x) @ W + b in one fused pass (a transformer block's qkv/proj
+    prologue). Replaces the XLA lowering's separate fp32 LN fusions
+    (three HBM passes over the residual stream at serving batch) plus a
+    dequantizing bf16 matmul: LN statistics and the per-row activation
+    quantization happen in VMEM and the dot runs int8 x int8 when w8a8.
+
+    The 3-D form is layout-preserving for the SAM resident window classes
+    ([N, 196, C] with 196 not tile-aligned): the grid walks groups of
+    whole windows, so neither the flat-reshape copy nor XLA's batched-
+    conv relayout ever exists. The weight is not chunked (one [C, F]
+    block, a few MB int8, cached across programs).
+
+    Reference computation: `/root/reference/models/segment_anything/
+    modeling/image_encoder.py` Block.norm1 + Attention.qkv."""
+    squeeze = x.ndim == 2
+    if squeeze:
+        x = x[None]
+    N, T, C = x.shape
+    F = w_q.shape[1]
+    # ~8 windows (or >=1024 rows) per program: balances launch count
+    # against VMEM residency for the [Wb, T, F] output block.
+    wb = 1
+    while wb < N and wb * T < 1024 and N % (wb * 2) == 0:
+        wb *= 2
+    kernel = functools.partial(_ln_linear_kernel, eps=eps, w8a8=w8a8)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(N // wb,),
+        in_specs=[
+            pl.BlockSpec((wb, T, C), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, F), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, F), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, F), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (wb, T, F), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((N, T, F), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(
+        x,
+        ln_scale.reshape(1, C), ln_bias.reshape(1, C),
+        w_q, w_scale.reshape(1, F).astype(jnp.float32), bias.reshape(1, F),
+    )
+    return out[0] if squeeze else out
