@@ -255,3 +255,30 @@ def test_fused_ln_linear_matches_xla_interpret():
                            interpret=True)
     np.testing.assert_allclose(np.asarray(got2), np.asarray(ref[0]),
                                rtol=2e-2, atol=2e-2)
+
+
+def test_fused_linear_residual_matches_xla_interpret():
+    """No-LN variant with a fused residual add (the resident window
+    path's output projection)."""
+    import jax.numpy as jnp
+
+    from ullava_tpu.ops.mlp_kernel import fused_linear
+
+    rng = np.random.default_rng(12)
+    N, T, C, F = 4, 196, 256, 256
+    x = jnp.asarray(rng.standard_normal((N, T, C)), jnp.float32)
+    res = jnp.asarray(rng.standard_normal((N, T, F)), jnp.float32)
+    w = jnp.asarray(rng.integers(-127, 127, (C, F)), jnp.int8)
+    ws = jnp.asarray(rng.random((1, F)) * 0.02, jnp.float32)
+    b = jnp.asarray(rng.standard_normal((F,)), jnp.float32)
+
+    ref = x @ (w.astype(jnp.float32) * ws) + b + res
+
+    got = fused_linear(x, w, ws, b, residual=res, w8a8=False,
+                       interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-2, atol=2e-2)
+    got8 = fused_linear(x, w, ws, b, residual=res, w8a8=True,
+                        interpret=True)
+    denom = np.abs(np.asarray(ref)).mean()
+    assert np.abs(np.asarray(got8) - np.asarray(ref)).mean() / denom < 0.02

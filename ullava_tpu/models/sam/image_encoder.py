@@ -620,7 +620,9 @@ def _pad_tables(qkv_bias, rows: int, cols: int, W: int, H: int, hd: int, dtype):
 def _attn_resident_cls(
     x: jax.Array, p: Params, cfg: SamVisionConfig, rows: int, cols: int
 ) -> jax.Array:
-    """Windowed attention on one compact class tensor [N, T, C]."""
+    """Windowed attention on one compact class tensor [N, T, C]: returns
+    x + proj(attn(LN1(x))) — LN1, qkv, and the output projection are all
+    fused kernels on the serving path."""
     from ullava_tpu.ops.sam_attention import (
         fused_window_attention_grid,
         fused_window_attention_rect,
@@ -663,7 +665,16 @@ def _attn_resident_cls(
             y, A, Bb, oh, pad_k, pad_v, num_heads=H, head_dim=hd,
             window=W, scale=hd**-0.5, interpret=interp,
         )
-    return _lin(cfg, out, p["proj"]) + p["proj_bias"]
+    if _use_pallas(cfg, W) and is_quantized(p["proj"]):
+        # Projection + residual in the layout-preserving 3-D kernel (the
+        # XLA batched conv relays the non-tile-aligned class tensors).
+        from ullava_tpu.ops.mlp_kernel import fused_linear
+
+        return fused_linear(
+            out, p["proj"]["q"], p["proj"]["scale"], p["proj_bias"],
+            residual=x, w8a8=cfg.mlp_w8a8, interpret=interp,
+        )
+    return x + (_lin(cfg, out, p["proj"]) + p["proj_bias"])
 
 
 def _block_resident(
@@ -673,9 +684,9 @@ def _block_resident(
     out = {}
     for name, x in xs.items():
         rows, cols = _class_geometry(name, cfg)
-        # LN1 happens inside _attn_resident_cls (fused into the qkv
-        # projection on the serving path).
-        h = x + _attn_resident_cls(x, p, cfg, rows, cols)
+        # LN1 + qkv + proj + residual all happen inside (fused kernels
+        # on the serving path).
+        h = _attn_resident_cls(x, p, cfg, rows, cols)
         out[name] = _mlp_tail(h, p, cfg)
     return out
 

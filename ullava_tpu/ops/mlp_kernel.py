@@ -158,9 +158,10 @@ def fused_mlp_block(
 ) -> jax.Array:
     """x + fc2(gelu(fc1(LN(x)))), one fused pass. T % block_t == 0 and
     F % f_chunk == 0 are required (serving shapes satisfy both; callers
-    fall back to the XLA path otherwise). With w8a8=True the fc1 dot runs
-    int8 x int8 on the MXU (activations per-row quantized once per token
-    tile); fc2 always runs bf16 (see the kernel comment). block_t/f_chunk
+    fall back to the XLA path otherwise). With w8a8=True both dots run
+    int8 x int8 on the MXU (fc1 activations quantized once per token tile
+    in the prologue; the GELU output re-quantized per chunk — measured
+    cheaper than a bf16 fc2, see the kernel comment). block_t/f_chunk
     of 0 pick the largest aligned tile (1024 when divisible, else 512) —
     1024/1024 measured ~6% faster than 512/512 at the ViT-H shapes."""
     T, C = x.shape
@@ -209,22 +210,29 @@ def fused_mlp_block(
 
 
 def _ln_linear_kernel(
-    x_ref,  # [Wb, T, C] (3-D path) or [block_t, C] (2-D path)
-    ln_s_ref, ln_b_ref,
-    w_ref, s_ref, b_ref,
-    o_ref,
-    *, eps: float, w8a8: bool,
+    *refs,
+    eps: float, w8a8: bool, ln: bool, residual: bool,
 ):
-    def one(x, o_store):
+    # refs: x, [ln_s, ln_b], w, s, b, [res], o  (flags pick the layout)
+    it = iter(refs)
+    x_ref = next(it)
+    ln_s_ref = next(it) if ln else None
+    ln_b_ref = next(it) if ln else None
+    w_ref, s_ref, b_ref = next(it), next(it), next(it)
+    res_ref = next(it) if residual else None
+    o_ref = next(it)
+
+    def one(x, res, store):
         xf = x.astype(jnp.float32)
-        mean = jnp.mean(xf, axis=-1, keepdims=True)
-        var = jnp.var(xf, axis=-1, keepdims=True)
-        normed = (xf - mean) * jax.lax.rsqrt(var + eps)
-        normed = normed * ln_s_ref[...].astype(jnp.float32) + ln_b_ref[
-            ...
-        ].astype(jnp.float32)
+        if ln:
+            mean = jnp.mean(xf, axis=-1, keepdims=True)
+            var = jnp.var(xf, axis=-1, keepdims=True)
+            xf = (xf - mean) * jax.lax.rsqrt(var + eps)
+            xf = xf * ln_s_ref[...].astype(jnp.float32) + ln_b_ref[...].astype(
+                jnp.float32
+            )
         if w8a8:
-            xq, xs = _row_quant(normed)
+            xq, xs = _row_quant(xf)
             y = jax.lax.dot_general(
                 xq, w_ref[...], (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.int32,
@@ -233,28 +241,39 @@ def _ln_linear_kernel(
         else:
             w = w_ref[...].astype(o_ref.dtype)
             y = jax.lax.dot_general(
-                normed.astype(o_ref.dtype), w, (((1,), (0,)), ((), ())),
+                xf.astype(o_ref.dtype), w, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
             y = y * s_ref[...] + b_ref[...].astype(jnp.float32)
-        o_store(y.astype(o_ref.dtype))
+        if res is not None:
+            y = y + res.astype(jnp.float32)
+        store(y.astype(o_ref.dtype))
 
     if x_ref.ndim == 3:
         for wi in range(x_ref.shape[0]):
-            one(x_ref[wi], lambda y, wi=wi: o_ref.__setitem__(wi, y))
+            one(
+                x_ref[wi],
+                res_ref[wi] if residual else None,
+                lambda y, wi=wi: o_ref.__setitem__(wi, y),
+            )
     else:
-        one(x_ref[...], lambda y: o_ref.__setitem__(Ellipsis, y))
+        one(
+            x_ref[...],
+            res_ref[...] if residual else None,
+            lambda y: o_ref.__setitem__(Ellipsis, y),
+        )
 
 
 def fused_ln_linear(
     x: jax.Array,  # [N, T, C] window-major classes, or [T, C] flat tokens
-    ln_scale: jax.Array,  # [C]
-    ln_bias: jax.Array,  # [C]
+    ln_scale: "jax.Array | None",  # [C]; None skips the LN (plain linear)
+    ln_bias: "jax.Array | None",  # [C]
     w_q: jax.Array,  # [C, F] int8
     w_scale: jax.Array,  # [1, F] f32
     bias: jax.Array,  # [F]
     eps: float,
     w8a8: bool = True,
+    residual: "jax.Array | None" = None,  # [N, T, F] added to the output
     interpret: bool = False,
 ) -> jax.Array:
     """LN(x) @ W + b in one fused pass (a transformer block's qkv/proj
@@ -274,6 +293,8 @@ def fused_ln_linear(
     squeeze = x.ndim == 2
     if squeeze:
         x = x[None]
+        if residual is not None and residual.ndim == 2:
+            residual = residual[None]
     N, T, C = x.shape
     F = w_q.shape[1]
     # ~8 windows (or >=1024 rows) per program: balances launch count
@@ -281,19 +302,41 @@ def fused_ln_linear(
     wb = 1
     while wb < N and wb * T < 1024 and N % (wb * 2) == 0:
         wb *= 2
-    kernel = functools.partial(_ln_linear_kernel, eps=eps, w8a8=w8a8)
+    kernel = functools.partial(
+        _ln_linear_kernel, eps=eps, w8a8=w8a8,
+        ln=ln_scale is not None, residual=residual is not None,
+    )
+
+    vec = lambda d: pl.BlockSpec(  # noqa: E731
+        (1, d), lambda i: (0, 0), memory_space=pltpu.VMEM
+    )
+    tok_spec = pl.BlockSpec(
+        (wb, T, C), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    in_specs = [tok_spec]
+    operands = [x]
+    if ln_scale is not None:
+        in_specs += [vec(C), vec(C)]
+        operands += [ln_scale.reshape(1, C), ln_bias.reshape(1, C)]
+    in_specs += [
+        pl.BlockSpec((C, F), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        vec(F), vec(F),
+    ]
+    operands += [
+        w_q, w_scale.reshape(1, F).astype(jnp.float32), bias.reshape(1, F),
+    ]
+    if residual is not None:
+        assert residual.shape[-1] == F
+        in_specs.append(
+            pl.BlockSpec((wb, T, F), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        operands.append(residual if residual.ndim == 3 else residual[None])
 
     out = pl.pallas_call(
         kernel,
         grid=(N // wb,),
-        in_specs=[
-            pl.BlockSpec((wb, T, C), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((C, F), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, F), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, F), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (wb, T, F), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
         ),
@@ -302,9 +345,24 @@ def fused_ln_linear(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
         interpret=interpret,
-    )(
-        x,
-        ln_scale.reshape(1, C), ln_bias.reshape(1, C),
-        w_q, w_scale.reshape(1, F).astype(jnp.float32), bias.reshape(1, F),
-    )
+    )(*operands)
     return out[0] if squeeze else out
+
+
+def fused_linear(
+    x: jax.Array,  # [N, T, C] or [T, C]
+    w_q: jax.Array,  # [C, F] int8
+    w_scale: jax.Array,  # [1, F] f32
+    bias: jax.Array,  # [F]
+    residual: "jax.Array | None" = None,  # [N, T, F] added to the output
+    w8a8: bool = True,
+    interpret: bool = False,
+) -> jax.Array:
+    """x @ W + b (+ residual), layout-preserving 3-D form — the
+    post-attention projection counterpart of `fused_ln_linear` (see its
+    docstring for why the batched-conv/flat-reshape alternatives cost a
+    relayout copy on non-tile-aligned window classes)."""
+    return fused_ln_linear(
+        x, None, None, w_q, w_scale, bias, 0.0,
+        w8a8=w8a8, residual=residual, interpret=interpret,
+    )
