@@ -20,8 +20,15 @@ logger = logging.getLogger(__name__)
 
 
 @contextlib.contextmanager
-def trace(logdir: str):
-    jax.profiler.start_trace(logdir)
+def trace(logdir: str, python_tracer: bool = False):
+    # The host python tracer emits ~1M events per serving batch, and the
+    # xplane->trace.json converter caps total events — with it on, the
+    # device XLA-Ops track gets crowded out of the JSON export entirely.
+    # Off by default; the device timeline is what these traces are for.
+    opts = jax.profiler.ProfileOptions()
+    opts.python_tracer_level = 1 if python_tracer else 0
+    opts.host_tracer_level = 2 if python_tracer else 1
+    jax.profiler.start_trace(logdir, profiler_options=opts)
     try:
         yield
     finally:
