@@ -57,6 +57,22 @@ def count_matmul_params(tree) -> int:
     return total
 
 
+def _fence(*trees):
+    """Force completion of every program whose outputs are in `trees`.
+
+    `jax.block_until_ready` can return before remote execution finishes on
+    relayed/async TPU backends (measured: an 8k matmul "completed" in 25 us);
+    a 1-element device->host read is the only dependable fence, so fence the
+    LAST output of every timed program explicitly — a trailing program whose
+    output is never read would otherwise fall outside the timed window.
+    """
+    import jax
+
+    for tree in trees:
+        for leaf in jax.tree_util.tree_leaves(tree):
+            _ = float(leaf.reshape(-1)[0])
+
+
 def zeros_like_tree(tree):
     import jax
     import jax.numpy as jnp
@@ -368,14 +384,12 @@ def run_res(batch: int, steps: int, max_new_tokens: int = 32):
             return lens, low
 
     lens, low = serve(params, batch_data)
-    jax.block_until_ready(low)
-    _ = float(lens[0])
+    _fence(lens, low)
 
     t0 = time.perf_counter()
     for _ in range(steps):
         lens, low = serve(params, batch_data)
-    jax.block_until_ready(low)
-    _ = float(lens[0])
+    _fence(lens, low)
     dt = (time.perf_counter() - t0) / steps
 
     # Coarse phase split: time the two serve programs separately
@@ -384,13 +398,11 @@ def run_res(batch: int, steps: int, max_new_tokens: int = 32):
     if split_mode:
         def timed(fn, *a):
             out = fn(*a)
-            jax.block_until_ready(out)
-            _ = float(jax.tree_util.tree_leaves(out)[0].reshape(-1)[0])
+            _fence(out)
             t = time.perf_counter()
             for _ in range(steps):
                 out = fn(*a)
-            jax.block_until_ready(out)
-            _ = float(jax.tree_util.tree_leaves(out)[0].reshape(-1)[0])
+            _fence(out)
             return (time.perf_counter() - t) / steps
 
         t_llm = timed(serve_llm, params, batch_data)
@@ -512,13 +524,11 @@ def run_res_e2e(batch: int, steps: int, max_new_tokens: int = 32):
     c0, s0 = host_batch(0)
     c0d, s0d = jax.device_put(c0), jax.device_put(s0)
     lengths, low = serve(params, ids, lens, c0d, s0d)
-    jax.block_until_ready(low)
-    _ = float(lengths[0])
+    _fence(lengths, low)
     t0 = time.perf_counter()
     for _ in range(steps):
         lengths, low = serve(params, ids, lens, c0d, s0d)
-    jax.block_until_ready(low)
-    _ = float(lengths[0])
+    _fence(lengths, low)
     device_ips = batch / ((time.perf_counter() - t0) / steps)
 
     # --- e2e: loader thread decodes AND uploads batch n+1/n+2 while the
@@ -536,14 +546,12 @@ def run_res_e2e(batch: int, steps: int, max_new_tokens: int = 32):
     # pipeline-fill warmup batch, then steady-state measurement
     cd, sd = q.get()
     outs = serve(params, ids, lens, cd, sd)
-    jax.block_until_ready(outs[1])
-    _ = float(outs[0][0])
+    _fence(*outs)
     t0 = time.perf_counter()
     for _ in range(steps):
         cd, sd = q.get()
         outs = serve(params, ids, lens, cd, sd)
-    jax.block_until_ready(outs[1])
-    _ = float(outs[0][0])
+    _fence(*outs)
     e2e_ips = (batch * steps) / (time.perf_counter() - t0)
     th.join()
     pool.shutdown()

@@ -215,6 +215,67 @@ def test_llama_gqa_kv_quant_decode():
         assert np.abs(a - b).mean() / denom < 0.05
 
 
+def test_prefill_quantize_write_matches_xla():
+    """Fused prefill quantize-and-write parity: int8 rows and scales are
+    bit-identical to quantize_kv_rows + dynamic_update_slice, and other
+    layers / positions >= S stay untouched."""
+    from ullava_tpu.ops.decode_attention import prefill_quantize_write
+
+    rng = np.random.default_rng(9)
+    L, B, S, maxS, Hkv, hd = 3, 2, 24, 40, 2, 128
+    C = Hkv * hd
+    k = jnp.asarray(rng.standard_normal((B, S, Hkv, hd)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, S, Hkv, hd)), jnp.float32)
+    # Pre-populated cache (sentinel content that must survive).
+    ck0 = jnp.asarray(rng.integers(-100, 100, (L, B, maxS, C)), jnp.int8)
+    cv0 = jnp.asarray(rng.integers(-100, 100, (L, B, maxS, C)), jnp.int8)
+    ks0 = jnp.asarray(rng.standard_normal((L, B, maxS, Hkv)), jnp.float32)
+    vs0 = jnp.asarray(rng.standard_normal((L, B, maxS, Hkv)), jnp.float32)
+    layer = jnp.int32(1)
+
+    kq, ks = quantize_kv_rows(k)
+    vq, vs = quantize_kv_rows(v)
+    idx = (layer, jnp.int32(0), jnp.int32(0), jnp.int32(0))
+    rk = jax.lax.dynamic_update_slice(ck0, kq.reshape(B, S, C)[None], idx)
+    rv = jax.lax.dynamic_update_slice(cv0, vq.reshape(B, S, C)[None], idx)
+    rks = jax.lax.dynamic_update_slice(ks0, ks[None], idx)
+    rvs = jax.lax.dynamic_update_slice(vs0, vs[None], idx)
+
+    ck, cv, cks, cvs = prefill_quantize_write(
+        k, v, ck0, cv0, ks0, vs0, layer, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(ck), np.asarray(rk))
+    np.testing.assert_array_equal(np.asarray(cv), np.asarray(rv))
+    np.testing.assert_allclose(np.asarray(cks), np.asarray(rks), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(cvs), np.asarray(rvs), rtol=1e-6)
+
+
+def test_prefill_quantize_write_bf16_inputs():
+    """bf16 serving dtype: the kernel upcasts in VMEM exactly like the XLA
+    path upcasts in HBM — rows must still match bit-for-bit."""
+    from ullava_tpu.ops.decode_attention import prefill_quantize_write
+
+    rng = np.random.default_rng(10)
+    L, B, S, maxS, Hkv, hd = 2, 1, 16, 16, 2, 128
+    C = Hkv * hd
+    k = jnp.asarray(rng.standard_normal((B, S, Hkv, hd)), jnp.bfloat16)
+    v = jnp.asarray(rng.standard_normal((B, S, Hkv, hd)), jnp.bfloat16)
+    ck0 = jnp.zeros((L, B, maxS, C), jnp.int8)
+    cv0 = jnp.zeros((L, B, maxS, C), jnp.int8)
+    ks0 = jnp.zeros((L, B, maxS, Hkv), jnp.float32)
+    vs0 = jnp.zeros((L, B, maxS, Hkv), jnp.float32)
+    layer = jnp.int32(0)
+    kq, ks = quantize_kv_rows(k)
+    ck, cv, cks, cvs = prefill_quantize_write(
+        k, v, ck0, cv0, ks0, vs0, layer, interpret=True
+    )
+    np.testing.assert_array_equal(
+        np.asarray(ck[0, :, :S]), np.asarray(kq.reshape(B, S, C))
+    )
+    np.testing.assert_allclose(np.asarray(cks[0, :, :S]), np.asarray(ks),
+                               rtol=1e-6)
+
+
 def test_kv_quant_cache_shapes():
     cfg = dataclasses.replace(llama.LlamaConfig.tiny(), kv_quant=True)
     cache = llama.init_kv_cache(cfg, 2, 32)

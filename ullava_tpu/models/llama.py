@@ -273,16 +273,36 @@ def _layer(
             # Prefill: bulk-write positions [0, S) and attend causally.
             cache = dict(cache)
             if quant_cache:
-                from ullava_tpu.ops.decode_attention import quantize_kv_rows
+                if _on_tpu() and S % 8 == 0:
+                    # Fused quantize-and-write: int8 rows + scales DMA
+                    # straight into the cache slab — the XLA chain's f32
+                    # upcast/broadcast/divide intermediates (~670 MB each
+                    # at 7B/B=32, ~90 ms/prefill) never touch HBM.
+                    from ullava_tpu.ops.decode_attention import (
+                        prefill_quantize_write,
+                    )
 
-                kq, ks = quantize_kv_rows(k)
-                vq, vs = quantize_kv_rows(v)
-                writes = {
-                    "k": kq.reshape(B, S, Hkv * hd),
-                    "v": vq.reshape(B, S, Hkv * hd),
-                    "k_scale": ks,
-                    "v_scale": vs,
-                }
+                    (
+                        cache["k"], cache["v"],
+                        cache["k_scale"], cache["v_scale"],
+                    ) = prefill_quantize_write(
+                        k, v, cache["k"], cache["v"],
+                        cache["k_scale"], cache["v_scale"], layer_idx,
+                    )
+                    writes = {}
+                else:
+                    from ullava_tpu.ops.decode_attention import (
+                        quantize_kv_rows,
+                    )
+
+                    kq, ks = quantize_kv_rows(k)
+                    vq, vs = quantize_kv_rows(v)
+                    writes = {
+                        "k": kq.reshape(B, S, Hkv * hd),
+                        "v": vq.reshape(B, S, Hkv * hd),
+                        "k_scale": ks,
+                        "v_scale": vs,
+                    }
             else:
                 writes = {
                     "k": k.astype(cache["k"].dtype),

@@ -392,6 +392,134 @@ def decode_attention_int8_fused_write(
     return attn.reshape(B, 1, H, hd), ck, cv, cks, cvs
 
 
+def _prefill_qwrite_kernel(
+    l_ref,  # [1] int32 scalar-prefetch: layer index (feeds output index maps)
+    k_ref,  # [1, bs, C] compute dtype: new post-rope key rows (lanes merged)
+    v_ref,  # [1, bs, C]
+    ck_ref,  # aliased cache slabs — never read; declared so the outputs can
+    cv_ref,  # alias them (pl.ANY memory space, no VMEM traffic)
+    cks_ref,
+    cvs_ref,
+    ok_ref,  # [1, 1, bs, C] int8, aliased into cache_k at (layer, b, s, 0)
+    ov_ref,  # [1, 1, bs, C] int8
+    oks_ref,  # [1, 1, bs, H] f32
+    ovs_ref,  # [1, 1, bs, H] f32
+    *,
+    num_heads: int,
+    head_dim: int,
+):
+    # Quantize `bs` rows for one (batch, seq-chunk) and DMA them straight
+    # into the stacked cache through aliased output windows. The math is
+    # identical to quantize_kv_rows (f32 amax/127 scale, round, clip) so
+    # prefill-written rows are bit-identical to the XLA path — but the f32
+    # upcast, the scale broadcast, and the divide all live in VMEM, and the
+    # cache write is the only HBM pass (the XLA chain materialized ~670 MB
+    # of f32 intermediates per tensor per 7B/B=32 prefill, ~90 ms/batch).
+    del ck_ref, cv_ref, cks_ref, cvs_ref, l_ref
+    H, hd = num_heads, head_dim
+
+    def quant(x_ref, oq_ref, os_ref):
+        xf = x_ref[0].astype(jnp.float32)  # [bs, C]
+        cols = []
+        cols_e = []
+        for h in range(H):
+            seg = xf[:, h * hd:(h + 1) * hd]
+            amax = jnp.maximum(
+                jnp.max(jnp.abs(seg), axis=1, keepdims=True), 1e-12
+            )  # [bs, 1]
+            s = amax / 127.0
+            cols.append(s)
+            cols_e.append(jnp.broadcast_to(s, seg.shape))
+        scale_e = jnp.concatenate(cols_e, axis=1)  # [bs, C]
+        q = jnp.clip(jnp.round(xf / scale_e), -127, 127).astype(jnp.int8)
+        oq_ref[0, 0] = q
+        os_ref[0, 0] = jnp.concatenate(cols, axis=1)  # [bs, H]
+
+    quant(k_ref, ok_ref, oks_ref)
+    quant(v_ref, ov_ref, ovs_ref)
+
+
+def prefill_quantize_write(
+    k: jax.Array,  # [B, S, Hkv, hd] post-rope keys (compute dtype)
+    v: jax.Array,  # [B, S, Hkv, hd]
+    cache_k: jax.Array,  # [L, B, maxS, C] int8 — donated, returned updated
+    cache_v: jax.Array,  # [L, B, maxS, C] int8
+    k_scale: jax.Array,  # [L, B, maxS, Hkv] f32
+    v_scale: jax.Array,  # [L, B, maxS, Hkv] f32
+    layer_idx: jax.Array,  # [] int32
+    *,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Quantize a prefill's K/V rows and write positions [0, S) of one
+    layer's cache in a single fused pass.
+
+    Returns (cache_k', cache_v', k_scale', v_scale'); the cache operands
+    are aliased in place under jit. Bit-identical rows to
+    `quantize_kv_rows` + `dynamic_update_slice` (same f32 quantize math).
+
+    Replaces the KV-cache population of the reference's HF `generate`
+    prefill step (`/root/reference/models/ullava.py:350-362`).
+    """
+    B, S, Hkv, hd = k.shape
+    C = Hkv * hd
+    L, _, maxS, _ = cache_k.shape
+    assert S % 8 == 0 and S <= maxS, (S, maxS)
+    # Chunk the seq dim to bound VMEM (~20 MB at bs=256): largest
+    # sublane-multiple divisor of S no bigger than 256.
+    bs = next(
+        (b for b in (256, 128, 64, 32, 16, 8) if S % b == 0), S
+    )
+    k2 = k.reshape(B, S, C)
+    v2 = v.reshape(B, S, C)
+
+    in_spec = pl.BlockSpec(
+        (1, bs, C), lambda b, s, l_ref: (b, s, 0), memory_space=pltpu.VMEM
+    )
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
+    out_row = pl.BlockSpec(
+        (1, 1, bs, C), lambda b, s, l_ref: (l_ref[0], b, s, 0),
+        memory_space=pltpu.VMEM,
+    )
+    out_sc = pl.BlockSpec(
+        (1, 1, bs, Hkv), lambda b, s, l_ref: (l_ref[0], b, s, 0),
+        memory_space=pltpu.VMEM,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, S // bs),
+        in_specs=[in_spec, in_spec, any_spec, any_spec, any_spec, any_spec],
+        out_specs=[out_row, out_row, out_sc, out_sc],
+    )
+    outs = pl.pallas_call(
+        functools.partial(
+            _prefill_qwrite_kernel, num_heads=Hkv, head_dim=hd
+        ),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct(cache_k.shape, cache_k.dtype),
+            jax.ShapeDtypeStruct(cache_v.shape, cache_v.dtype),
+            jax.ShapeDtypeStruct(k_scale.shape, jnp.float32),
+            jax.ShapeDtypeStruct(v_scale.shape, jnp.float32),
+        ],
+        # Flattened inputs incl. scalar prefetch: 0=layer 1=k 2=v
+        # 3=cache_k 4=cache_v 5=k_scale 6=v_scale.
+        input_output_aliases={3: 0, 4: 1, 5: 2, 6: 3},
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(
+        layer_idx.reshape(1).astype(jnp.int32),
+        k2,
+        v2,
+        cache_k,
+        cache_v,
+        k_scale.astype(jnp.float32),
+        v_scale.astype(jnp.float32),
+    )
+    return tuple(outs)
+
+
 def decode_attention_int8_xla(
     q, cache_k, cache_v, k_scale, v_scale, kv_lens, layer_idx, *, scale: float
 ) -> jax.Array:
