@@ -282,3 +282,61 @@ def test_fused_linear_residual_matches_xla_interpret():
                         interpret=True)
     denom = np.abs(np.asarray(ref)).mean()
     assert np.abs(np.asarray(got8) - np.asarray(ref)).mean() / denom < 0.02
+
+
+def test_rms_norm_pallas_parity_fwd_bwd():
+    """Pallas RMSNorm (interpret) == XLA formula, values AND grads."""
+    from ullava_tpu.ops.norms import _rms_norm_pallas
+
+    rng = np.random.default_rng(3)
+    rows, D = 32, 256
+    x = jnp.asarray(rng.standard_normal((rows, D)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((D,)), jnp.float32)
+    dy = jnp.asarray(rng.standard_normal((rows, D)), jnp.float32)
+
+    def ref(x, w):
+        var = jnp.mean(jnp.square(x), axis=-1, keepdims=True)
+        return x * jax.lax.rsqrt(var + 1e-6) * w
+
+    y, vjp = jax.vjp(lambda x, w: _rms_norm_pallas(x, w, 1e-6, True), x, w)
+    y_ref, vjp_ref = jax.vjp(ref, x, w)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), atol=1e-5)
+    dx, dw = vjp(dy)
+    dx_ref, dw_ref = vjp_ref(dy)
+    np.testing.assert_allclose(np.asarray(dx), np.asarray(dx_ref), atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(dw), np.asarray(dw_ref), rtol=2e-5, atol=1e-4
+    )
+
+
+def test_rms_norm_pallas_bf16_and_multiblock():
+    """bf16 inputs, multiple grid blocks (rows > block), dw accumulation."""
+    from ullava_tpu.ops.norms import _rms_norm_pallas
+
+    rng = np.random.default_rng(4)
+    rows, D = 48, 128  # block 16 -> 3 grid steps
+    x = jnp.asarray(rng.standard_normal((rows, D)), jnp.bfloat16)
+    w = jnp.asarray(rng.standard_normal((D,)), jnp.bfloat16)
+    dy = jnp.asarray(rng.standard_normal((rows, D)), jnp.bfloat16)
+
+    def ref(x, w):
+        xf = x.astype(jnp.float32)
+        var = jnp.mean(jnp.square(xf), axis=-1, keepdims=True)
+        return (xf * jax.lax.rsqrt(var + 1e-6) * w.astype(jnp.float32)).astype(
+            x.dtype
+        )
+
+    y, vjp = jax.vjp(lambda x, w: _rms_norm_pallas(x, w, 1e-6, True), x, w)
+    y_ref, vjp_ref = jax.vjp(ref, x, w)
+    np.testing.assert_array_equal(np.asarray(y), np.asarray(y_ref))
+    dx, dw = vjp(dy)
+    dx_ref, dw_ref = vjp_ref(dy)
+    assert dx.dtype == x.dtype and dw.dtype == w.dtype
+    np.testing.assert_allclose(
+        np.asarray(dx, np.float32), np.asarray(dx_ref, np.float32),
+        atol=0.05, rtol=0.05,
+    )
+    np.testing.assert_allclose(
+        np.asarray(dw, np.float32), np.asarray(dw_ref, np.float32),
+        atol=0.3, rtol=0.05,
+    )
