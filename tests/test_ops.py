@@ -340,3 +340,56 @@ def test_rms_norm_pallas_bf16_and_multiblock():
         np.asarray(dw, np.float32), np.asarray(dw_ref, np.float32),
         atol=0.3, rtol=0.05,
     )
+
+
+def test_silu_mul_quant_matches_a8_chain():
+    """Fused silu-mul-quantize == the XLA apply_linear_a8 quantization of
+    silu(g)*u: identical int8 rows and scales, and identical down-proj
+    output when paired with apply_linear_a8_prequant."""
+    from ullava_tpu.ops.mlp_kernel import silu_mul_quant
+    from ullava_tpu.ops.quant import (
+        apply_linear_a8,
+        apply_linear_a8_prequant,
+        quantize_int8,
+    )
+
+    rng = np.random.default_rng(6)
+    rows, F, C = 48, 256, 128
+    g = jnp.asarray(rng.standard_normal((rows, F)), jnp.float32)
+    u = jnp.asarray(rng.standard_normal((rows, F)), jnp.float32)
+    w = quantize_int8(jnp.asarray(rng.standard_normal((F, C)) * 0.05, jnp.float32))
+
+    gated = jax.nn.silu(g) * u
+    ref_y = apply_linear_a8(gated, w)
+
+    gq, gs = silu_mul_quant(g, u, interpret=True)
+    # Reference quantization restated:
+    hf = np.asarray(gated, np.float32)
+    amax = np.maximum(np.abs(hf).max(axis=1, keepdims=True), 1e-12)
+    ref_q = np.round(hf * (127.0 / amax)).astype(np.int8)
+    np.testing.assert_array_equal(np.asarray(gq), ref_q)
+    np.testing.assert_allclose(np.asarray(gs), amax, rtol=1e-6)
+
+    y = apply_linear_a8_prequant(gq, gs, w, jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(y), np.asarray(ref_y), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_silu_mul_quant_bf16():
+    from ullava_tpu.ops.mlp_kernel import silu_mul_quant
+
+    rng = np.random.default_rng(7)
+    rows, F = 16, 384
+    g = jnp.asarray(rng.standard_normal((rows, F)), jnp.bfloat16)
+    u = jnp.asarray(rng.standard_normal((rows, F)), jnp.bfloat16)
+    gq, gs = silu_mul_quant(g, u, interpret=True)
+    hf = np.asarray(g, np.float32)
+    hf = hf * (1.0 / (1.0 + np.exp(-hf))) * np.asarray(u, np.float32)
+    amax = np.maximum(np.abs(hf).max(axis=1, keepdims=True), 1e-12)
+    np.testing.assert_allclose(np.asarray(gs), amax, rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(gq, np.int32),
+        np.round(hf * (127.0 / amax)).astype(np.int32),
+        atol=1,
+    )

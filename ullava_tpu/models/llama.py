@@ -322,8 +322,26 @@ def _layer(
     h = h + lin(attn.reshape(B, S, H * hd), p["o_proj"])
 
     x = rms_norm(h, p["post_norm"], cfg.rms_norm_eps)
-    gated = jax.nn.silu(lin(x, p["gate_proj"])) * lin(x, p["up_proj"])
-    h = h + lin(gated, p["down_proj"])
+    g = lin(x, p["gate_proj"])
+    u = lin(x, p["up_proj"])
+    a8_mlp = (
+        cfg.a8_prefill and S > 1 and is_quantized(p["down_proj"])
+        and _on_tpu() and (B * S) % 8 == 0
+    )
+    if a8_mlp:
+        # Fused silu*up + per-row int8 quantize in VMEM: the XLA chain
+        # re-reads the [B*S, F] gated intermediate twice in f32 before
+        # the down dot (~124 ms per B=48 prefill, traced).
+        from ullava_tpu.ops.mlp_kernel import silu_mul_quant
+        from ullava_tpu.ops.quant import apply_linear_a8_prequant
+
+        F = g.shape[-1]
+        gq, gs = silu_mul_quant(g.reshape(B * S, F), u.reshape(B * S, F))
+        y = apply_linear_a8_prequant(gq, gs, p["down_proj"], x.dtype)
+        h = h + y.reshape(B, S, -1)
+    else:
+        gated = jax.nn.silu(g) * u
+        h = h + lin(gated, p["down_proj"])
     return h, cache
 
 

@@ -163,7 +163,13 @@ def fused_mlp_block(
     in the prologue; the GELU output re-quantized per chunk — measured
     cheaper than a bf16 fc2, see the kernel comment). block_t/f_chunk
     of 0 pick the largest aligned tile (1024 when divisible, else 512) —
-    1024/1024 measured ~6% faster than 512/512 at the ViT-H shapes."""
+    1024/1024 measured ~6% faster than 512/512 at the ViT-H shapes.
+
+    A layout-preserving 3-D window form ([N, 196, C] per the resident
+    classes, per-window dot chains) was built and measured NET-NEGATIVE
+    at B=48 (SAM phase 2.11 -> 2.17 s): the per-window strided block DMAs
+    cost more than the flat-reshape relayout copies they replace, so the
+    flat 2-D form stays."""
     T, C = x.shape
     F = w1_q.shape[1]
     block_t = block_t or (1024 if T % 1024 == 0 else 512)
@@ -207,6 +213,61 @@ def fused_mlp_block(
         w2_q, w2_scale.reshape(1, C).astype(jnp.float32), b2.reshape(1, C),
     )
     return out
+
+
+def _silu_mul_quant_kernel(g_ref, u_ref, q_ref, s_ref):
+    gf = g_ref[...].astype(jnp.float32)  # [bs, F]
+    uf = u_ref[...].astype(jnp.float32)
+    h = gf * jax.lax.logistic(gf) * uf  # silu(gate) * up
+    amax = jnp.maximum(jnp.max(jnp.abs(h), axis=1, keepdims=True), 1e-12)
+    q_ref[...] = jnp.round(h * (127.0 / amax)).astype(jnp.int8)
+    s_ref[...] = amax
+
+
+def silu_mul_quant(
+    gate: jax.Array,  # [rows, F] compute dtype
+    up: jax.Array,  # [rows, F]
+    *,
+    interpret: bool = False,
+):
+    """(int8 rows, [rows, 1] f32 abs-max) of silu(gate) * up in one VMEM
+    pass. The XLA chain behind `apply_linear_a8(silu(g) * u, w)` re-reads
+    the [rows, F] gated intermediate twice in f32 (amax reduce + quantize)
+    — ~124 ms per B=48 7B prefill (traced); here silu/mul/amax/round all
+    happen on the block in VMEM and the int8 rows are the only HBM write.
+    Same math as `apply_linear_a8`'s quantization (f32 silu, amax >= 1e-12,
+    round). Pair with `quant.apply_linear_a8_prequant` for the down proj.
+
+    Replaces the act-quant half of the reference's fp16 MLP
+    (`/root/reference/models/ullava.py` via HF LlamaMLP)."""
+    rows, F = gate.shape
+    # f32 temps dominate VMEM: ~22 B/element across g/u/h copies.
+    cap = max(8, (48 << 20) // (F * 22))
+    bs = next(
+        (b for b in (256, 128, 64, 32, 16, 8) if b <= cap and rows % b == 0),
+        rows,
+    )
+    q, s = pl.pallas_call(
+        _silu_mul_quant_kernel,
+        grid=(rows // bs,),
+        in_specs=[
+            pl.BlockSpec((bs, F), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bs, F), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((bs, F), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bs, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((rows, F), jnp.int8),
+            jax.ShapeDtypeStruct((rows, 1), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(gate, up)
+    return q, s
 
 
 def _ln_linear_kernel(

@@ -76,6 +76,26 @@ def apply_linear_a8(x: jax.Array, w: QuantLeaf) -> jax.Array:
     return y.astype(x.dtype).reshape(*lead, y.shape[-1])
 
 
+def apply_linear_a8_prequant(
+    xq: jax.Array,  # [rows, K] int8 (pre-quantized activations)
+    amax: jax.Array,  # [rows, 1] f32 per-row abs-max
+    w: QuantLeaf,
+    out_dtype,
+) -> jax.Array:
+    """The dot + rescale tail of `apply_linear_a8` for activations already
+    quantized elsewhere (e.g. by the fused silu-mul-quantize kernel)."""
+    y = jax.lax.dot_general(
+        xq, w["q"], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    y = (
+        y.astype(jnp.float32)
+        * (amax * (1.0 / 127.0))
+        * w["scale"].reshape(1, -1)
+    )
+    return y.astype(out_dtype)
+
+
 def apply_linear(x: jax.Array, w: MaybeQuant) -> jax.Array:
     """x @ w with transparent int8 dequant (scale folded post-matmul).
 
