@@ -281,3 +281,80 @@ def test_kv_quant_cache_shapes():
     cache = llama.init_kv_cache(cfg, 2, 32)
     assert cache["k"].dtype == jnp.int8
     assert cache["k_scale"].shape == (cfg.num_layers, 2, 32, cfg.num_kv_heads)
+
+
+def _gqa_xla_ref(q, kq, vq, ks, vs, lens, layer, scale):
+    """Dequantize the GQA cache and attend with the plain XLA reference."""
+    from ullava_tpu.ops.attention import attention_xla
+
+    L, B, S, Ckv = kq.shape
+    Hkv = ks.shape[-1]
+    hd = Ckv // Hkv
+    kf = kq[layer].astype(jnp.float32).reshape(B, S, Hkv, hd) * ks[layer][..., None]
+    vf = vq[layer].astype(jnp.float32).reshape(B, S, Hkv, hd) * vs[layer][..., None]
+    return attention_xla(q, kf, vf, kv_lens=lens, scale=scale)
+
+
+def test_decode_kernel_gqa_matches_reference():
+    """Grouped-KV (Hkv < H) attend-only kernel == dequant + XLA attention."""
+    rng = np.random.default_rng(11)
+    L, B, S, H, Hkv, hd = 2, 2, 128, 8, 2, 128
+    q = jnp.asarray(rng.standard_normal((B, 1, H, hd)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((L, B, S, Hkv, hd)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((L, B, S, Hkv, hd)), jnp.float32)
+    kq, ks = quantize_kv_rows(k)
+    vq, vs = quantize_kv_rows(v)
+    kq = kq.reshape(L, B, S, Hkv * hd)
+    vq = vq.reshape(L, B, S, Hkv * hd)
+    lens = jnp.asarray([S, S // 2 + 5], jnp.int32)
+    layer = jnp.int32(1)
+    scale = hd**-0.5
+    ref = _gqa_xla_ref(q, kq, vq, ks, vs, lens, layer, scale)
+    got = decode_attention_int8(
+        q, kq, vq, ks, vs, lens, layer, scale=scale, block_b=2, interpret=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(got)[:, 0], np.asarray(ref)[:, 0], atol=3e-5
+    )
+
+
+def test_fused_write_kernel_gqa():
+    """Grouped-KV write-and-attend: output and cache writes match the
+    scatter + dequant-attend reference."""
+    rng = np.random.default_rng(12)
+    L, B, S, H, Hkv, hd = 2, 2, 64, 4, 2, 128
+    Ckv = Hkv * hd
+    q = jnp.asarray(rng.standard_normal((B, 1, H, hd)), jnp.float32)
+    hist = jnp.asarray(rng.standard_normal((L, B, S, Hkv, hd)), jnp.float32)
+    kq0, ks0 = quantize_kv_rows(hist)
+    vq0, vs0 = quantize_kv_rows(hist[::-1])
+    cache_k = kq0.reshape(L, B, S, Ckv)
+    cache_v = vq0.reshape(L, B, S, Ckv)
+    write_pos = jnp.asarray([S // 2, 9], jnp.int32)
+    lens = write_pos + 1
+    layer = jnp.int32(0)
+    scale = hd**-0.5
+    k_new = jnp.asarray(rng.standard_normal((B, Hkv, hd)), jnp.float32)
+    v_new = jnp.asarray(rng.standard_normal((B, Hkv, hd)), jnp.float32)
+    kqn, ksn = quantize_kv_rows(k_new)
+    vqn, vsn = quantize_kv_rows(v_new)
+
+    b_idx = jnp.arange(B)
+    rk = cache_k.at[layer, b_idx, write_pos].set(kqn.reshape(B, Ckv))
+    rv = cache_v.at[layer, b_idx, write_pos].set(vqn.reshape(B, Ckv))
+    rks = ks0.at[layer, b_idx, write_pos].set(ksn)
+    rvs = vs0.at[layer, b_idx, write_pos].set(vsn)
+    ref = _gqa_xla_ref(q, rk, rv, rks, rvs, lens, layer, scale)
+
+    attn, ck, cv, cks, cvs = decode_attention_int8_fused_write(
+        q, kqn.reshape(B, Ckv), ksn, vqn.reshape(B, Ckv), vsn,
+        cache_k, cache_v, ks0, vs0, write_pos, layer,
+        scale=scale, interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(attn)[:, 0], np.asarray(ref)[:, 0], atol=3e-5
+    )
+    np.testing.assert_array_equal(np.asarray(ck), np.asarray(rk))
+    np.testing.assert_array_equal(np.asarray(cv), np.asarray(rv))
+    np.testing.assert_allclose(np.asarray(cks), np.asarray(rks), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(cvs), np.asarray(rvs), rtol=1e-6)

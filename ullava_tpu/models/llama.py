@@ -205,22 +205,10 @@ def _layer(
 
                 kq, ks = quantize_kv_rows(k[:, 0])  # [B, Hkv, hd] rows
                 vq, vs = quantize_kv_rows(v[:, 0])
-                # PERF CLIFF: the fused write-and-attend kernel requires
-                # MHA (Hkv == H; the reference LLaMA-7B). GQA/MQA configs
-                # fall back to an XLA dequant path that materializes the
-                # bf16 cache in HBM each step — costlier than a bf16 cache.
-                # For GQA serving, prefer kv_quant=False until a grouped-KV
-                # kernel variant lands (see ops/decode_attention.py).
-                fused = Hkv == H and _on_tpu()
-                if not fused and _on_tpu():
-                    import warnings
-
-                    warnings.warn(
-                        "int8 KV cache with num_kv_heads != num_heads uses "
-                        "the slow XLA dequant fallback; use kv_quant=False "
-                        "for GQA serving.",
-                        stacklevel=2,
-                    )
+                # The fused write-and-attend kernel handles GQA/MQA
+                # natively (grouped-KV dots + 0/1 scale-expansion dots);
+                # only non-TPU backends take the XLA dequant fallback.
+                fused = _on_tpu()
                 if fused:
                     # Write-and-attend: the new row reaches HBM through the
                     # kernel's aliased output windows — no XLA scatters, one
@@ -327,6 +315,9 @@ def _layer(
     a8_mlp = (
         cfg.a8_prefill and S > 1 and is_quantized(p["down_proj"])
         and _on_tpu() and (B * S) % 8 == 0
+        # Serving only (cache present): the fused kernel has no VJP; the
+        # training path keeps the XLA a8 chain, which differentiates.
+        and cache is not None
     )
     if a8_mlp:
         # Fused silu*up + per-row int8 quantize in VMEM: the XLA chain

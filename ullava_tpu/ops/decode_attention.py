@@ -47,14 +47,15 @@ def _kernel(
     l_ref,  # [1] int32 scalar-prefetch: layer index (consumed by index maps)
     len_ref,  # [B] int32 in SMEM (whole array): valid KV length per row
     q_ref,  # [bb, H, hd] q.dtype (pre-scaled)
-    k_ref,  # [1, bb, S, C] int8 (this layer's rows, heads merged on lanes)
-    v_ref,  # [1, bb, S, C] int8
-    ks_ref,  # [1, bb, S, H] f32
-    vs_ref,  # [1, bb, S, H] f32
+    k_ref,  # [1, bb, S, Ckv] int8 (this layer's rows, heads merged on lanes)
+    v_ref,  # [1, bb, S, Ckv] int8
+    ks_ref,  # [1, bb, S, Hkv] f32
+    vs_ref,  # [1, bb, S, Hkv] f32
     o_ref,  # [bb, 1, C]
     *,
     block_b: int,
     num_heads: int,
+    num_kv_heads: int,
     head_dim: int,
     scale: float,
 ):
@@ -72,39 +73,69 @@ def _kernel(
     # measured 45 ms per 7B decode step at B=32 (vs ~18 bf16-cache).
     ib = pl.program_id(0)
     H, hd = num_heads, head_dim
-    C = H * hd
+    Hkv = num_kv_heads
+    rep = H // Hkv
+    C = H * hd  # output lanes (q heads)
+    Ckv = Hkv * hd  # cache lanes (kv heads)
     S = k_ref.shape[2]
-    rowc = jax.lax.broadcasted_iota(jnp.int32, (C, H), 0)
-    colh = jax.lax.broadcasted_iota(jnp.int32, (C, H), 1)
+    rowc = jax.lax.broadcasted_iota(jnp.int32, (Ckv, H), 0)
+    colh = jax.lax.broadcasted_iota(jnp.int32, (Ckv, H), 1)
     rowh = jax.lax.broadcasted_iota(jnp.int32, (H, C), 0)
     colc = jax.lax.broadcasted_iota(jnp.int32, (H, C), 1)
     emask = (colc // hd == rowh).astype(q_ref.dtype)  # [H, C] expansion
+    # GQA scale expansion [Hkv, H]: kv head g feeds q heads [g*rep, (g+1)*rep).
+    semask = (
+        jax.lax.broadcasted_iota(jnp.int32, (Hkv, H), 0)
+        == jax.lax.broadcasted_iota(jnp.int32, (Hkv, H), 1) // rep
+    ).astype(jnp.float32)
     for b in range(block_b):
         q = q_ref[b]  # [H, hd]
         qT = jax.lax.transpose(q, (1, 0))  # [hd, H] (tiny)
-        qrep = jnp.concatenate([qT] * H, axis=0)  # [C, H]: row c -> q[:, c%hd]
-        W = jnp.where(rowc // hd == colh, qrep, jnp.zeros((), q.dtype))
-        k2 = k_ref[0, b].astype(q.dtype)  # [S, C]
+        # W[c, h] = q[h, c % hd] if the cache row's kv head (c // hd)
+        # serves q head h, else 0 — GQA folds into the same one-dot form.
+        qrep = jnp.concatenate([qT] * Hkv, axis=0)  # [Ckv, H]
+        W = jnp.where(rowc // hd == colh // rep, qrep, jnp.zeros((), q.dtype))
+        k2 = k_ref[0, b].astype(q.dtype)  # [S, Ckv]
         sc = jax.lax.dot_general(
             k2, W, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # [S, H]
         # Softmax scale folds into the fp32 key-scale multiply here (not a
         # bf16 pre-scale of q, which would add a rounding step the XLA
-        # reference path doesn't have).
-        sc = sc * (ks_ref[0, b] * scale)
+        # reference path doesn't have). GQA expands the [S, Hkv] scales to
+        # q-head columns with a 0/1 dot (exact).
+        ks = ks_ref[0, b]
+        vs = vs_ref[0, b]
+        if rep > 1:
+            ks = jax.lax.dot_general(
+                ks, semask, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            vs = jax.lax.dot_general(
+                vs, semask, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        sc = sc * (ks * scale)
         kv_len = len_ref[ib * block_b + b]
         pos = jax.lax.broadcasted_iota(jnp.int32, sc.shape, 0)
         sc = jnp.where(pos < kv_len, sc, _NEG_INF)
         m = jnp.max(sc, axis=0, keepdims=True)
         p = jnp.exp(sc - m)
         p = p / jnp.sum(p, axis=0, keepdims=True)
-        pv = (p * vs_ref[0, b]).astype(q.dtype)  # [S, H]
+        pv = (p * vs).astype(q.dtype)  # [S, H]
         pvE = jax.lax.dot_general(
             pv, emask, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # [S, C]: prob of row s broadcast across its head's lanes
-        v2 = v_ref[0, b].astype(jnp.float32)  # [S, C]
+        v2 = v_ref[0, b].astype(jnp.float32)  # [S, Ckv]
+        if rep > 1:
+            # Expand kv-head value lanes to q-head lanes (hd-aligned
+            # VMEM lane slices, one per q head).
+            v2 = jnp.concatenate(
+                [v2[:, (h // rep) * hd:(h // rep + 1) * hd]
+                 for h in range(H)],
+                axis=1,
+            )  # [S, C]
         o = jnp.sum(pvE * v2, axis=0, keepdims=True)  # [1, C]
         o_ref[b] = o.astype(o_ref.dtype)
 
@@ -132,17 +163,19 @@ def decode_attention_int8(
     free because the cache is STORED pre-merged."""
     B, S1, H, hd = q.shape
     assert S1 == 1
-    L, _, maxS, C = cache_k.shape
+    L, _, maxS, Ckv = cache_k.shape
+    Hkv = Ckv // hd
+    C = H * hd
     while block_b > 1 and B % block_b:
         block_b //= 2
     qs = q[:, 0]
 
     kv_spec = pl.BlockSpec(
-        (1, block_b, maxS, C), lambda b, l_ref: (l_ref[0], b, 0, 0),
+        (1, block_b, maxS, Ckv), lambda b, l_ref: (l_ref[0], b, 0, 0),
         memory_space=pltpu.VMEM,
     )
     sc_spec = pl.BlockSpec(
-        (1, block_b, maxS, H), lambda b, l_ref: (l_ref[0], b, 0, 0),
+        (1, block_b, maxS, Hkv), lambda b, l_ref: (l_ref[0], b, 0, 0),
         memory_space=pltpu.VMEM,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -164,7 +197,8 @@ def decode_attention_int8(
     )
     out = pl.pallas_call(
         functools.partial(
-            _kernel, block_b=block_b, num_heads=H, head_dim=hd, scale=scale
+            _kernel, block_b=block_b, num_heads=H, num_kv_heads=Hkv,
+            head_dim=hd, scale=scale
         ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, 1, C), q.dtype),
@@ -189,21 +223,22 @@ def _fused_write_kernel(
     wp_ref,  # [B] int32 scalar-prefetch: per-row write position (feeds the
     #          cache-row output index maps AND the staleness mask)
     q_ref,  # [1, H, hd] q.dtype
-    kq_ref,  # [1, 1, C] int8: quantized new key row (heads merged on lanes)
-    ksn_ref,  # [1, 1, H] f32: its per-head scales
-    vq_ref,  # [1, 1, C] int8
-    vsn_ref,  # [1, 1, H] f32
-    k_ref,  # [1, 1, S, C] int8 (this layer's cache rows for this sample)
-    v_ref,  # [1, 1, S, C] int8
-    ks_ref,  # [1, 1, S, H] f32
-    vs_ref,  # [1, 1, S, H] f32
+    kq_ref,  # [1, 1, Ckv] int8: quantized new key row (heads merged on lanes)
+    ksn_ref,  # [1, 1, Hkv] f32: its per-head scales
+    vq_ref,  # [1, 1, Ckv] int8
+    vsn_ref,  # [1, 1, Hkv] f32
+    k_ref,  # [1, 1, S, Ckv] int8 (this layer's cache rows for this sample)
+    v_ref,  # [1, 1, S, Ckv] int8
+    ks_ref,  # [1, 1, S, Hkv] f32
+    vs_ref,  # [1, 1, S, Hkv] f32
     o_ref,  # [1, 1, C] attention output
-    ok_ref,  # [1, 1, 8, C] int8: cache write stripe (aliased with k_ref's buffer)
-    ov_ref,  # [1, 1, 8, C] int8
-    oks_ref,  # [1, 1, 8, H] f32
-    ovs_ref,  # [1, 1, 8, H] f32
+    ok_ref,  # [1, 1, 8, Ckv] int8: cache write stripe (aliased with k_ref's buffer)
+    ov_ref,  # [1, 1, 8, Ckv] int8
+    oks_ref,  # [1, 1, 8, Hkv] f32
+    ovs_ref,  # [1, 1, 8, Hkv] f32
     *,
     num_heads: int,
+    num_kv_heads: int,
     head_dim: int,
     scale: float,
 ):
@@ -214,23 +249,50 @@ def _fused_write_kernel(
     # 8-row output stripe (Mosaic requires sublane-multiple windows; the
     # other 7 rows are re-emitted from the in-VMEM input block), whose index
     # maps target (layer, b, write_pos[b] // 8) via scalar prefetch.
+    # GQA (Hkv < H) folds into the same dots: the block-diagonal q operand
+    # maps each cache kv head to its `rep` q heads, scales expand through a
+    # 0/1 dot, and value lanes expand by hd-aligned VMEM lane slices.
     ib = pl.program_id(0)
     H, hd = num_heads, head_dim
+    Hkv = num_kv_heads
+    rep = H // Hkv
     C = H * hd
-    rowc = jax.lax.broadcasted_iota(jnp.int32, (C, H), 0)
+    Ckv = Hkv * hd
+    rowc = jax.lax.broadcasted_iota(jnp.int32, (Ckv, H), 0)
     rowh = jax.lax.broadcasted_iota(jnp.int32, (H, C), 0)
     colc = jax.lax.broadcasted_iota(jnp.int32, (H, C), 1)
     emask = (colc // hd == rowh).astype(q_ref.dtype)  # [H, C] expansion
+    semask = (
+        jax.lax.broadcasted_iota(jnp.int32, (Hkv, H), 0)
+        == jax.lax.broadcasted_iota(jnp.int32, (Hkv, H), 1) // rep
+    ).astype(jnp.float32)
+
+    def expand_scales(x):  # [.., Hkv] -> [.., H] (exact 0/1 dot)
+        if rep == 1:
+            return x
+        return jax.lax.dot_general(
+            x, semask, (((x.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    def expand_values(v):  # [.., Ckv] f32 -> [.., C]
+        if rep == 1:
+            return v
+        return jnp.concatenate(
+            [v[..., (h // rep) * hd:(h // rep + 1) * hd] for h in range(H)],
+            axis=-1,
+        )
+
     q = q_ref[0]  # [H, hd]
     qT = jax.lax.transpose(q, (1, 0))  # [hd, H] (tiny)
-    qrep = jnp.concatenate([qT] * H, axis=0)  # [C, H]: row c -> q[:, c%hd]
-    W = jnp.where(rowc // hd == jax.lax.broadcasted_iota(jnp.int32, (C, H), 1),
+    qrep = jnp.concatenate([qT] * Hkv, axis=0)  # [Ckv, H]: row c -> q[:, c%hd]
+    W = jnp.where(rowc // hd == jax.lax.broadcasted_iota(jnp.int32, (Ckv, H), 1) // rep,
                   qrep, jnp.zeros((), q.dtype))
-    k2 = k_ref[0, 0].astype(q.dtype)  # [S, C]
+    k2 = k_ref[0, 0].astype(q.dtype)  # [S, Ckv]
     sc = jax.lax.dot_general(
         k2, W, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
     )  # [S, H]
-    sc = sc * (ks_ref[0, 0] * scale)
+    sc = sc * (expand_scales(ks_ref[0, 0]) * scale)
     # Rows at/after write_pos are stale (the new row is added in-register
     # below, before it ever reaches HBM).
     wp = wp_ref[ib]
@@ -239,24 +301,25 @@ def _fused_write_kernel(
     # Current token's score/value from the quantized new row — identical
     # math to a cache row (dequantize-in-dot + fp32 scale fold), so the
     # result is bit-comparable to attending over the written cache.
-    kqf = kq_ref[0].astype(q.dtype)  # [1, C]
+    kqf = kq_ref[0].astype(q.dtype)  # [1, Ckv]
     s_cur = jax.lax.dot_general(
         kqf, W, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-    ) * (ksn_ref[0] * scale)  # [1, H]
+    ) * (expand_scales(ksn_ref[0]) * scale)  # [1, H]
     m = jnp.maximum(jnp.max(sc, axis=0, keepdims=True), s_cur)
     p = jnp.exp(sc - m)  # [S, H]
     p_cur = jnp.exp(s_cur - m)  # [1, H]
     denom = jnp.sum(p, axis=0, keepdims=True) + p_cur  # [1, H]
-    pv = (p * vs_ref[0, 0]).astype(q.dtype)  # [S, H]
+    pv = (p * expand_scales(vs_ref[0, 0])).astype(q.dtype)  # [S, H]
     pvE = jax.lax.dot_general(
         pv, emask, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
     )  # [S, C]
-    o = jnp.sum(pvE * v_ref[0, 0].astype(jnp.float32), axis=0, keepdims=True)
-    pvc = (p_cur * vsn_ref[0]).astype(q.dtype)  # [1, H]
+    o = jnp.sum(pvE * expand_values(v_ref[0, 0].astype(jnp.float32)),
+                axis=0, keepdims=True)
+    pvc = (p_cur * expand_scales(vsn_ref[0])).astype(q.dtype)  # [1, H]
     pvcE = jax.lax.dot_general(
         pvc, emask, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
     )  # [1, C]
-    o = o + pvcE * vq_ref[0].astype(jnp.float32)
+    o = o + pvcE * expand_values(vq_ref[0].astype(jnp.float32))
     denomE = jax.lax.dot_general(
         denom.astype(q.dtype), emask, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -267,16 +330,16 @@ def _fused_write_kernel(
     # output index maps; every output block is written once per program.
     base = (wp // 8) * 8
     off = wp - base
-    stripe_k = k_ref[0, 0, pl.ds(base, 8), :]  # [8, C]
+    stripe_k = k_ref[0, 0, pl.ds(base, 8), :]  # [8, Ckv]
     stripe_v = v_ref[0, 0, pl.ds(base, 8), :]
-    stripe_ks = ks_ref[0, 0, pl.ds(base, 8), :]  # [8, H]
+    stripe_ks = ks_ref[0, 0, pl.ds(base, 8), :]  # [8, Hkv]
     stripe_vs = vs_ref[0, 0, pl.ds(base, 8), :]
-    selC = jax.lax.broadcasted_iota(jnp.int32, (8, C), 0) == off
-    selH = jax.lax.broadcasted_iota(jnp.int32, (8, H), 0) == off
-    ok_ref[0, 0] = jnp.where(selC, jnp.broadcast_to(kq_ref[0], (8, C)), stripe_k)
-    ov_ref[0, 0] = jnp.where(selC, jnp.broadcast_to(vq_ref[0], (8, C)), stripe_v)
-    oks_ref[0, 0] = jnp.where(selH, jnp.broadcast_to(ksn_ref[0], (8, H)), stripe_ks)
-    ovs_ref[0, 0] = jnp.where(selH, jnp.broadcast_to(vsn_ref[0], (8, H)), stripe_vs)
+    selC = jax.lax.broadcasted_iota(jnp.int32, (8, Ckv), 0) == off
+    selH = jax.lax.broadcasted_iota(jnp.int32, (8, Hkv), 0) == off
+    ok_ref[0, 0] = jnp.where(selC, jnp.broadcast_to(kq_ref[0], (8, Ckv)), stripe_k)
+    ov_ref[0, 0] = jnp.where(selC, jnp.broadcast_to(vq_ref[0], (8, Ckv)), stripe_v)
+    oks_ref[0, 0] = jnp.where(selH, jnp.broadcast_to(ksn_ref[0], (8, Hkv)), stripe_ks)
+    ovs_ref[0, 0] = jnp.where(selH, jnp.broadcast_to(vsn_ref[0], (8, Hkv)), stripe_vs)
 
 
 def decode_attention_int8_fused_write(
@@ -308,16 +371,18 @@ def decode_attention_int8_fused_write(
     """
     B, S1, H, hd = q.shape
     assert S1 == 1
-    L, _, maxS, C = cache_k.shape
+    L, _, maxS, Ckv = cache_k.shape
+    Hkv = Ckv // hd
+    C = H * hd
     assert maxS % 8 == 0, "int8 KV cache length must be a sublane multiple"
     qs = q[:, 0]
 
     kv_spec = pl.BlockSpec(
-        (1, 1, maxS, C), lambda b, l_ref, wp_ref: (l_ref[0], b, 0, 0),
+        (1, 1, maxS, Ckv), lambda b, l_ref, wp_ref: (l_ref[0], b, 0, 0),
         memory_space=pltpu.VMEM,
     )
     sc_spec = pl.BlockSpec(
-        (1, 1, maxS, H), lambda b, l_ref, wp_ref: (l_ref[0], b, 0, 0),
+        (1, 1, maxS, Hkv), lambda b, l_ref, wp_ref: (l_ref[0], b, 0, 0),
         memory_space=pltpu.VMEM,
     )
     # Write windows are 8-row sublane stripes (Mosaic minimum); the block
@@ -337,10 +402,10 @@ def decode_attention_int8_fused_write(
         in_specs=[
             pl.BlockSpec((1, H, hd), lambda b, l_ref, wp_ref: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            new_spec(C),
-            new_spec(H),
-            new_spec(C),
-            new_spec(H),
+            new_spec(Ckv),
+            new_spec(Hkv),
+            new_spec(Ckv),
+            new_spec(Hkv),
             kv_spec,
             kv_spec,
             sc_spec,
@@ -349,15 +414,16 @@ def decode_attention_int8_fused_write(
         out_specs=[
             pl.BlockSpec((1, 1, C), lambda b, l_ref, wp_ref: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            row_spec(C),
-            row_spec(C),
-            row_spec(H),
-            row_spec(H),
+            row_spec(Ckv),
+            row_spec(Ckv),
+            row_spec(Hkv),
+            row_spec(Hkv),
         ],
     )
     outs = pl.pallas_call(
         functools.partial(
-            _fused_write_kernel, num_heads=H, head_dim=hd, scale=scale
+            _fused_write_kernel, num_heads=H, num_kv_heads=Hkv,
+            head_dim=hd, scale=scale
         ),
         grid_spec=grid_spec,
         out_shape=[
@@ -379,10 +445,10 @@ def decode_attention_int8_fused_write(
         layer_idx.reshape(1).astype(jnp.int32),
         write_pos.astype(jnp.int32),
         qs,
-        kq_new.reshape(B, 1, C),
-        ks_new.reshape(B, 1, H).astype(jnp.float32),
-        vq_new.reshape(B, 1, C),
-        vs_new.reshape(B, 1, H).astype(jnp.float32),
+        kq_new.reshape(B, 1, Ckv),
+        ks_new.reshape(B, 1, Hkv).astype(jnp.float32),
+        vq_new.reshape(B, 1, Ckv),
+        vs_new.reshape(B, 1, Hkv).astype(jnp.float32),
         cache_k,
         cache_v,
         k_scale.astype(jnp.float32),
