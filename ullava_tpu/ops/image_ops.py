@@ -104,18 +104,35 @@ def preprocess_canvas(
     return clip_preprocess(canvas, sizes, clip_size), sam_preprocess(canvas, sizes)
 
 
-def make_canvas(image: "object", sam_size: int = SAM_IMAGE_SIZE):
+def make_canvas(image: "object", sam_size: int = SAM_IMAGE_SIZE, out=None):
     """Host-side helper: uint8 HWC RGB image (any size) -> (canvas, (h, w)).
 
-    Resizes the longest side to `sam_size` (bilinear, exactly
-    `SegToolBox.apply_image`) and corner-pastes into a fixed canvas.
-    This is the ONLY host-side transform in the e2e serving path."""
+    Resizes the longest side to `sam_size` and corner-pastes into a fixed
+    canvas. This is the ONLY host-side transform in the e2e serving path,
+    so it uses cv2 (SIMD, GIL-releasing; INTER_LINEAR upscale / INTER_AREA
+    downscale) when available — within +/-1 LSB of the PIL bilinear the
+    dataset path (`SegToolBox.apply_image`) keeps for reference parity.
+    `out`: optional preallocated [sam_size, sam_size, 3] uint8 slot to
+    write into (zero-copy batch assembly from loader threads)."""
     import numpy as np
 
-    from ullava_tpu.data.tools.mask_toolbox import SegToolBox
+    from ullava_tpu.data.tools.mask_toolbox import get_preprocess_shape
 
-    resized = SegToolBox(sam_size).apply_image(np.asarray(image))
-    h, w = resized.shape[:2]
-    canvas = np.zeros((sam_size, sam_size, 3), np.uint8)
-    canvas[:h, :w] = resized
-    return canvas, (h, w)
+    image = np.asarray(image)
+    h, w = image.shape[:2]
+    nh, nw = get_preprocess_shape(h, w, sam_size)
+    try:
+        import cv2
+
+        interp = cv2.INTER_LINEAR if nh >= h else cv2.INTER_AREA
+        resized = cv2.resize(image, (nw, nh), interpolation=interp)
+    except ImportError:
+        from ullava_tpu.data.tools.mask_toolbox import SegToolBox
+
+        resized = SegToolBox(sam_size).apply_image(image)
+    canvas = np.zeros((sam_size, sam_size, 3), np.uint8) if out is None else out
+    if out is not None:
+        canvas[nh:] = 0
+        canvas[:nh, nw:] = 0
+    canvas[:nh, :nw] = resized
+    return canvas, (nh, nw)
