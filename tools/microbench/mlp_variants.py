@@ -15,7 +15,7 @@ import jax, jax.numpy as jnp, numpy as np
 
 from ullava_tpu.ops import mlp_kernel as mk
 
-T, C, F = 150528 // 2, 1280, 5120   # half the B=48 interior tile (VMEM-friendly iter count)
+T, C, F = 150528, 1280, 5120   # half the B=48 interior tile (VMEM-friendly iter count)
 FLOPS = 2 * T * C * F * 2
 
 def bench(fn, *args, iters=20):
@@ -37,27 +37,32 @@ def main():
     s1 = jnp.full((1, F), 0.01, jnp.float32); b1 = jnp.zeros((F,), jnp.float32)
     w2 = jnp.asarray(rng.integers(-127, 127, (F, C)), jnp.int8)
     s2 = jnp.full((1, C), 0.01, jnp.float32); b2 = jnp.zeros((C,), jnp.float32)
-    args = (x, ln_s, ln_b, w1, s1, b1, w2, s2, b2, 1e-6)
+    args = (x, ln_s, ln_b, w1, s1, b1, w2, s2, b2)
 
-    base = jax.jit(functools.partial(mk.fused_mlp_block, w8a8=True))
+    base = jax.jit(functools.partial(mk.fused_mlp_block, w8a8=True, eps=1e-6))
     dt, o0 = bench(base, *args)
     print(f"base f1024 : {dt*1e3:7.2f} ms  {FLOPS/dt/1e12:6.1f} TF/s")
 
     for fc in (2560, 5120):
-        f = jax.jit(functools.partial(mk.fused_mlp_block, w8a8=True, f_chunk=fc))
+        f = jax.jit(functools.partial(mk.fused_mlp_block, w8a8=True, eps=1e-6, f_chunk=fc))
         dt, o = bench(f, *args)
         err = float(jnp.max(jnp.abs(o.astype(jnp.float32) - o0.astype(jnp.float32))))
         print(f"f_chunk {fc:4d}: {dt*1e3:7.2f} ms  {FLOPS/dt/1e12:6.1f} TF/s  maxdiff {err:.3e}")
 
-    for bt in (512, 2048):
-        f = jax.jit(functools.partial(mk.fused_mlp_block, w8a8=True, block_t=bt))
-        dt, o = bench(f, *args)
-        err = float(jnp.max(jnp.abs(o.astype(jnp.float32) - o0.astype(jnp.float32))))
-        print(f"block_t {bt:4d}: {dt*1e3:7.2f} ms  {FLOPS/dt/1e12:6.1f} TF/s  maxdiff {err:.3e}")
+    for bt in (1536,):
+        for fc in (1024, 2560, 5120):
+            if T % bt or F % fc:
+                continue
+            f = jax.jit(functools.partial(mk.fused_mlp_block, w8a8=True, eps=1e-6, block_t=bt, f_chunk=fc))
+            dt, o = bench(f, *args)
+            err = float(jnp.max(jnp.abs(o.astype(jnp.float32) - o0.astype(jnp.float32))))
+            print(f"bt{bt:4d} fc{fc:4d}: {dt*1e3:7.2f} ms  {FLOPS/dt/1e12:6.1f} TF/s  maxdiff {err:.3e}")
 
     if hasattr(mk, "fused_mlp_block_v2"):
-        for kw in ({"split": 2}, {"split": 4}):
-            f = jax.jit(functools.partial(mk.fused_mlp_block_v2, w8a8=True, **kw))
+        for kw in ():
+            if (T % kw.get("block_t", 512)) or (F % kw.get("f_chunk", 1024)):
+                continue
+            f = jax.jit(functools.partial(mk.fused_mlp_block_v2, eps=1e-6, **kw))
             dt, o = bench(f, *args)
             err = float(jnp.max(jnp.abs(o.astype(jnp.float32) - o0.astype(jnp.float32))))
             print(f"v2 {kw}: {dt*1e3:7.2f} ms  {FLOPS/dt/1e12:6.1f} TF/s  maxdiff {err:.3e}")

@@ -203,7 +203,131 @@ def fused_mlp_block(
             pltpu.VMEM((block_t, C), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024
+            vmem_limit_bytes=110 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(
+        x,
+        ln_scale.reshape(1, C), ln_bias.reshape(1, C),
+        w1_q, w1_scale.reshape(1, F).astype(jnp.float32), b1.reshape(1, F),
+        w2_q, w2_scale.reshape(1, C).astype(jnp.float32), b2.reshape(1, C),
+    )
+    return out
+
+
+def _kernel_v2(
+    x_ref, ln_s_ref, ln_b_ref,
+    w1_ref, s1_ref, b1_ref,
+    w2_ref, s2_ref, b2_ref,
+    o_ref,
+    xn_ref, xs_ref, acc_ref, h_ref,
+    *, eps: float, n_chunks: int,
+):
+    """Chunk-pipelined w8a8 variant of `_kernel`: grid step k issues the
+    fc1 dot for chunk k (MXU, raw int32 into a parity-double-buffered
+    scratch) BEFORE running the GELU+requant epilogue of chunk k-1 (VPU)
+    and its fc2 dot. The VPU epilogue is ~40% of a chunk's serial time in
+    `_kernel` (the MXU sits idle through it); here it has an independent
+    in-flight fc1 dot to hide behind. Grid is (T/bt, n_chunks + 1): step 0
+    only produces, step n_chunks only consumes. Per-chunk math is bitwise
+    identical to `_kernel` (same quant granularity, same fp32 dequant)."""
+    k = pl.program_id(1)
+
+    @pl.when(k == 0)
+    def _prologue():
+        xf = x_ref[...].astype(jnp.float32)
+        mean = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.var(xf, axis=-1, keepdims=True)
+        normed = (xf - mean) * jax.lax.rsqrt(var + eps)
+        normed = normed * ln_s_ref[...].astype(jnp.float32) + ln_b_ref[
+            ...
+        ].astype(jnp.float32)
+        xq, xs = _row_quant(normed)
+        xn_ref[...] = xq
+        xs_ref[...] = jnp.broadcast_to(xs, xs_ref.shape)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    @pl.when(k < n_chunks)
+    def _produce():
+        h_ref[k % 2] = jax.lax.dot_general(
+            xn_ref[...], w1_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+
+    @pl.when(k > 0)
+    def _consume():
+        # s1/b1/w2/s2 blocks carry chunk k-1 here (see the index maps).
+        h = h_ref[(k - 1) % 2].astype(jnp.float32)
+        h = h * (xs_ref[:, :1] * s1_ref[...]) + b1_ref[...].astype(jnp.float32)
+        h = _gelu_exact(h)
+        hq, hs = _row_quant(h)
+        acc_ref[...] += jax.lax.dot_general(
+            hq, w2_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32) * (hs * s2_ref[...])
+
+    @pl.when(k == n_chunks)
+    def _epilogue():
+        out = acc_ref[...] + b2_ref[...].astype(jnp.float32)
+        o_ref[...] = (out + x_ref[...].astype(jnp.float32)).astype(o_ref.dtype)
+
+
+def fused_mlp_block_v2(
+    x: jax.Array,
+    ln_scale: jax.Array,
+    ln_bias: jax.Array,
+    w1_q: jax.Array,
+    w1_scale: jax.Array,
+    b1: jax.Array,
+    w2_q: jax.Array,
+    w2_scale: jax.Array,
+    b2: jax.Array,
+    eps: float,
+    block_t: int = 0,
+    f_chunk: int = 0,
+    interpret: bool = False,
+) -> jax.Array:
+    """`fused_mlp_block` (w8a8 only) with the fc1 MXU dot of chunk k
+    software-pipelined against the GELU+requant VPU epilogue of chunk
+    k-1. Output is bitwise-equal to `fused_mlp_block(w8a8=True)` at the
+    same (block_t, f_chunk)."""
+    T, C = x.shape
+    F = w1_q.shape[1]
+    block_t = block_t or (1024 if T % 1024 == 0 else 512)
+    f_chunk = f_chunk or (1024 if F % 1024 == 0 else 512)
+    assert T % block_t == 0 and F % f_chunk == 0, (T, F)
+    n = F // f_chunk
+    kernel = functools.partial(_kernel_v2, eps=eps, n_chunks=n)
+    last = lambda i, k: (0, 0)
+    w1_map = lambda i, k: (0, jnp.minimum(k, n - 1))
+    c1_map = lambda i, k: (0, jnp.maximum(k - 1, 0))  # s1/b1 at chunk k-1
+    w2_map = lambda i, k: (jnp.maximum(k - 1, 0), 0)
+    out = pl.pallas_call(
+        kernel,
+        grid=(T // block_t, n + 1),
+        in_specs=[
+            pl.BlockSpec((block_t, C), lambda i, k: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), last, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), last, memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, f_chunk), w1_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, f_chunk), c1_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, f_chunk), c1_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((f_chunk, C), w2_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), last, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), last, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (block_t, C), lambda i, k: (i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((T, C), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_t, C), jnp.int8),
+            pltpu.VMEM((block_t, 128), jnp.float32),
+            pltpu.VMEM((block_t, C), jnp.float32),
+            pltpu.VMEM((2, block_t, f_chunk), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024
         ),
         interpret=interpret,
     )(
