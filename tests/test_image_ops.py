@@ -13,15 +13,27 @@ def _rand_image(rng, h, w):
 
 
 def test_sam_preprocess_bit_parity_with_host():
+    """Device normalize/pad must be bit-exact vs `SegToolBox.preprocess`
+    on the SAME resized pixels. The serving canvas resizer is cv2
+    (make_canvas) while the dataset path keeps PIL — those two resamplers
+    agree only to +/-1 LSB, pinned by the second assertion."""
     rng = np.random.default_rng(0)
     tb = SegToolBox()
     imgs = [_rand_image(rng, 480, 640), _rand_image(rng, 333, 217)]
     canvases, sizes, refs = [], [], []
     for im in imgs:
-        canvas, hw = image_ops.make_canvas(im)
+        canvas, (h, w) = image_ops.make_canvas(im)
         canvases.append(canvas)
-        sizes.append(hw)
-        refs.append(tb.preprocess(tb.apply_image(im)))
+        sizes.append((h, w))
+        # Reference: host normalize+pad applied to the canvas's own pixels.
+        refs.append(tb.preprocess(canvas[:h, :w]))
+        # The cv2 serving resize stays within 1 LSB of the PIL dataset path.
+        pil_resized = tb.apply_image(im)
+        assert pil_resized.shape == (h, w, 3)
+        assert (
+            np.abs(canvas[:h, :w].astype(np.int16) - pil_resized.astype(np.int16)).max()
+            <= 1
+        )
     got = image_ops.sam_preprocess(
         jnp.asarray(np.stack(canvases)), jnp.asarray(sizes, jnp.int32)
     )
