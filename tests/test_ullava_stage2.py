@@ -68,7 +68,11 @@ def test_giou_loss_matches_reference_values():
     iou0 = 5.0 / 29.5
     hull0 = 5 * 5.9
     giou0 = iou0 - (hull0 - 29.5) / hull0
-    expected = ((1 - giou0) + 0.0 + 0.0) / (3 + 1e-8)
+    # Per-sample mean over its 3 boxes, then / total boxes again — the
+    # reference composition double-normalizes box losses
+    # (`models/ullava.py:318,320`; see loss.py module docstring).
+    per_sample = ((1 - giou0) + 0.0 + 0.0) / (3 + 1e-8)
+    expected = per_sample / (3 + 1e-8)
     assert abs(got - expected) < 1e-5
 
 
@@ -85,7 +89,9 @@ def test_l1_loss_sums_coords():
     pred = np.zeros((1, 2, 4), np.float32)
     gt = np.ones((1, 2, 4), np.float32)
     got = float(L.bbox_l1_loss(jnp.asarray(pred), jnp.asarray(gt), jnp.ones((1, 2), bool)))
-    assert abs(got - 8.0 / 2) < 1e-6  # sum |1| over 8 coords / 2 boxes
+    # sum |1| over 8 coords / 2 boxes (sample) / 2 boxes (total): the
+    # reference's double normalization (`models/ullava.py:311,319`).
+    assert abs(got - 8.0 / 2 / 2) < 1e-6
 
 
 def test_pixel_valid_masks_padding():

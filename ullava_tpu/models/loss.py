@@ -8,8 +8,15 @@ pixel region, replacing the reference's ragged per-sample lists.
 
 Aggregation parity (`models/ullava.py:271-324`): per-mask pixel-mean (bce)
 / dice-per-mask, summed over all valid masks in the batch, divided by
-(total valid masks + 1e-8); box losses sum coordinate errors over valid
-boxes / (total + 1e-8).
+(total valid masks + 1e-8). Box losses are DOUBLE-normalized, exactly like
+the reference: each sample's coordinate-error sum is divided by that
+sample's box count (`bbox_l1_loss(..., gt_box.shape[0])` inside the
+per-sample loop, `models/ullava.py:311-313`), and the sum of those
+per-sample means is divided by the total box count again
+(`models/ullava.py:319-320`). The mask losses multiply the per-sample term
+by `gt_mask.shape[0]` first, which cancels the inner divide; the box
+losses do not — the asymmetry is the reference's trained objective, so we
+keep it.
 """
 
 from __future__ import annotations
@@ -94,10 +101,15 @@ def bbox_l1_loss(
     gt_boxes: jax.Array,
     box_valid: jax.Array,  # [B, N]
 ) -> jax.Array:
-    """Sum of |err| over coords of valid boxes / (count + 1e-8)."""
+    """Per-sample |err| sum / (n_b + 1e-8), summed, / (total + 1e-8).
+
+    Double normalization matches the reference composition
+    (`models/ullava.py:311,319` + `loss.py:96-99`); see module docstring.
+    """
     l1 = jnp.abs(pred_boxes.astype(jnp.float32) - gt_boxes.astype(jnp.float32))
     l1 = jnp.where(box_valid[..., None], l1, 0.0)
-    return l1.sum() / (box_valid.sum() + 1e-8)
+    per_sample = l1.sum(axis=(-2, -1)) / (box_valid.sum(axis=-1) + 1e-8)
+    return per_sample.sum() / (box_valid.sum() + 1e-8)
 
 
 def bbox_giou_loss(
@@ -105,12 +117,15 @@ def bbox_giou_loss(
     gt_boxes: jax.Array,
     box_valid: jax.Array,
 ) -> jax.Array:
-    """(1 - giou) over valid, non-degenerate pred boxes / (valid count + 1e-8).
+    """Per-sample (1 - giou) sum over non-degenerate boxes / (n_b + 1e-8),
+    summed over samples, / (total + 1e-8).
 
     Degenerate predictions (x2 < x1 or y2 < y1) are excluded from the sum
-    but still counted in the denominator, exactly like the reference's
-    filter (`loss.py:102-114`)."""
+    but still counted in the denominators, exactly like the reference's
+    filter (`loss.py:102-114`); double normalization matches
+    `models/ullava.py:318,320` — see module docstring."""
     ok = jnp.all(pred_boxes[..., 2:] >= pred_boxes[..., :2], axis=-1) & box_valid
     giou = generalized_box_iou(pred_boxes.astype(jnp.float32), gt_boxes.astype(jnp.float32))
     per_box = jnp.where(ok, 1.0 - giou, 0.0)
-    return per_box.sum() / (box_valid.sum() + 1e-8)
+    per_sample = per_box.sum(axis=-1) / (box_valid.sum(axis=-1) + 1e-8)
+    return per_sample.sum() / (box_valid.sum() + 1e-8)
