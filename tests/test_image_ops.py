@@ -15,8 +15,11 @@ def _rand_image(rng, h, w):
 def test_sam_preprocess_bit_parity_with_host():
     """Device normalize/pad must be bit-exact vs `SegToolBox.preprocess`
     on the SAME resized pixels. The serving canvas resizer is cv2
-    (make_canvas) while the dataset path keeps PIL — those two resamplers
-    agree only to +/-1 LSB, pinned by the second assertion."""
+    (make_canvas) while the dataset path keeps PIL; on the UPSCALE branch
+    (cv2 INTER_LINEAR vs PIL bilinear — both inputs here are <1024px) the
+    two agree to +/-1 LSB, pinned by the second assertion. The downscale
+    (INTER_AREA) branch diverges more; see
+    `test_make_canvas_downscale_divergence_bounds`."""
     rng = np.random.default_rng(0)
     tb = SegToolBox()
     imgs = [_rand_image(rng, 480, 640), _rand_image(rng, 333, 217)]
@@ -40,6 +43,46 @@ def test_sam_preprocess_bit_parity_with_host():
     np.testing.assert_allclose(
         np.asarray(got), np.stack(refs), rtol=0, atol=1e-5
     )
+
+
+def test_make_canvas_downscale_divergence_bounds():
+    """The >1024px serving case takes make_canvas's cv2 INTER_AREA branch,
+    a box filter that is intentionally NOT the PIL bilinear the dataset
+    path uses. Pin honest, measured bounds for it: on photographic-ish
+    content (gradients + gaussian texture) max |delta| stays within a few
+    dozen LSB and the mean within a few LSB; on pure per-pixel noise the
+    max reaches ~82 LSB (mean ~15) — that worst case is documented here,
+    not asserted tightly, because no real photograph is iid noise."""
+    import cv2
+
+    from ullava_tpu.data.tools.mask_toolbox import get_preprocess_shape
+
+    rng = np.random.default_rng(4)
+    tb = SegToolBox()
+    h, w = 1200, 1600
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = (128 + 100 * np.sin(xx / 40) * np.cos(yy / 60)).astype(np.float32)
+    tex = rng.normal(0, 20, (h, w)).astype(np.float32)
+    im = np.clip(base + tex, 0, 255).astype(np.uint8)[..., None].repeat(3, axis=2)
+
+    canvas, (nh, nw) = image_ops.make_canvas(im)
+    assert (nh, nw) == get_preprocess_shape(h, w, 1024)
+    assert nh < h  # really the downscale (INTER_AREA) branch
+    pil_resized = tb.apply_image(im)
+    d = np.abs(canvas[:nh, :nw].astype(np.int16) - pil_resized.astype(np.int16))
+    # measured on this fixture: max 16, mean 1.89 — assert with headroom
+    assert d.max() <= 32, d.max()
+    assert d.mean() <= 4.0, d.mean()
+
+    # iid-noise worst case (not representative of photos): measured
+    # max ~82 / mean ~15; keep a loose ceiling so regressions that change
+    # the resampler outright (e.g. nearest) still fail.
+    noise = rng.integers(0, 256, (1536, 2048, 3), np.uint8)
+    canvas_n, (nh2, nw2) = image_ops.make_canvas(noise)
+    pil_n = tb.apply_image(noise)
+    dn = np.abs(canvas_n[:nh2, :nw2].astype(np.int16) - pil_n.astype(np.int16))
+    assert dn.max() <= 100, dn.max()
+    assert dn.mean() <= 20.0, dn.mean()
 
 
 def test_clip_preprocess_close_to_host_pipeline():

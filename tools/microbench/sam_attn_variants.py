@@ -12,7 +12,6 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))))
-sys.path.insert(0, "/root/repo")
 
 import jax
 import jax.numpy as jnp
@@ -70,7 +69,15 @@ def main():
         )
     )
     t = timed(win, y, aw, bw)
-    print(f"window grid S=196 N={Nw}: {t*1000:.2f} ms  (x28 layers = {28*t*1000:.1f} ms/serve)")
+    # NOTE: full-window class ONLY (16 of the ~21 window-equivalents per
+    # image, ~77% of tokens); the right/bottom/corner edge classes run the
+    # rect kernel and are not benched here, so the x28 extrapolation
+    # UNDERSTATES total per-serve window-attention cost by ~23%.
+    print(
+        f"window grid S=196 N={Nw}: {t*1000:.2f} ms  "
+        f"(x28 layers = {28*t*1000:.1f} ms/serve, full-window class only "
+        "— excludes right/bottom/corner edge windows)"
+    )
 
 
 if __name__ == "__main__":

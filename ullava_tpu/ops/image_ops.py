@@ -109,9 +109,14 @@ def make_canvas(image: "object", sam_size: int = SAM_IMAGE_SIZE, out=None):
 
     Resizes the longest side to `sam_size` and corner-pastes into a fixed
     canvas. This is the ONLY host-side transform in the e2e serving path,
-    so it uses cv2 (SIMD, GIL-releasing; INTER_LINEAR upscale / INTER_AREA
-    downscale) when available — within +/-1 LSB of the PIL bilinear the
-    dataset path (`SegToolBox.apply_image`) keeps for reference parity.
+    so it uses cv2 (SIMD, GIL-releasing) when available. vs the PIL
+    bilinear the dataset path (`SegToolBox.apply_image`) keeps for
+    reference parity: the INTER_LINEAR upscale branch matches to +/-1 LSB;
+    the INTER_AREA downscale branch (>1024px inputs, the common serving
+    case) is a box filter — an intentional train/serve skew, measured at
+    max ~16 / mean ~2 LSB on photographic-like content and up to ~82 LSB
+    on iid noise (`tests/test_image_ops.py:
+    test_make_canvas_downscale_divergence_bounds`).
     `out`: optional preallocated [sam_size, sam_size, 3] uint8 slot to
     write into (zero-copy batch assembly from loader threads)."""
     import numpy as np
