@@ -133,6 +133,46 @@ def test_clip_preprocess_square_image_matches_host_resize():
     assert np.abs(got - ref).mean() < 0.08
 
 
+# Measured twice-resize divergence bound (canvas path vs the reference's
+# original-resolution CLIP pipeline), normalized units, over the size
+# sweep in test_clip_twice_resize_divergence_bounded. CLIP std ~0.27, so
+# MEAN 0.01 ~= 0.07/255 raw and MAX 0.5 ~= 13/255 raw at the worst pixel.
+# Worst cases are small (<300px) images: they upscale to the 1024 canvas
+# before the 224 downsample, compounding interpolation error. When
+# real-checkpoint eval runs, any metric delta attributable to serving
+# preprocess is bounded by these numbers (the eval harness itself uses
+# the exact host path, so eval metrics are unaffected).
+CLIP_TWICE_RESIZE_MAX = 0.5
+CLIP_TWICE_RESIZE_MEAN = 0.01
+
+
+def test_clip_twice_resize_divergence_bounded():
+    """Quantify the documented canvas-path divergence
+    (`ops/image_ops.py` module docstring): device `clip_preprocess` from
+    the 1024 canvas vs the reference-exact original-resolution host
+    pipeline, across aspect ratios, upscale/downscale regimes, and a
+    square no-pad case. Measured values (smoothed noise): mean <= 0.0064,
+    max <= 0.30 — asserted with headroom via the module constants."""
+    import cv2
+
+    rng = np.random.default_rng(5)
+    proc = CLIPProcessor(aspect_ratio="pad")
+    sweep = [(480, 640), (333, 217), (768, 1024), (1200, 1600),
+             (2000, 1500), (512, 512), (90, 160)]
+    for h, w in sweep:
+        im = cv2.GaussianBlur(_rand_image(rng, h, w), (11, 11), 3)
+        canvas, hw = image_ops.make_canvas(im)
+        got = np.asarray(
+            image_ops.clip_preprocess(
+                jnp.asarray(canvas[None]), jnp.asarray([hw], jnp.int32)
+            )
+        )[0]
+        ref = proc(im)
+        d = np.abs(got - ref)
+        assert d.max() <= CLIP_TWICE_RESIZE_MAX, (h, w, d.max())
+        assert d.mean() <= CLIP_TWICE_RESIZE_MEAN, (h, w, d.mean())
+
+
 def test_preprocess_canvas_shapes_and_dtype():
     rng = np.random.default_rng(3)
     canvas, hw = image_ops.make_canvas(_rand_image(rng, 300, 400))
