@@ -432,3 +432,40 @@ def test_resident_window_layout_matches_xla_boundary():
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(ref), atol=2e-4, rtol=2e-4
     )
+
+
+def test_global_fused_block_matches_xla():
+    """The fused global-block serving path (LN1+qkv and proj+residual in
+    the fused int8 kernels, S = 1024 tokens) == the unfused XLA path on
+    the same quantized weights. Grid 32 (img 512) is the smallest size
+    clearing the `_use_global_fused` gates (size > 16, S % 1024 == 0)."""
+    import dataclasses
+
+    from ullava_tpu.models.sam import image_encoder as ie
+    from ullava_tpu.ops import quant
+
+    cfg = ie.SamVisionConfig.tiny(
+        img_size=512, embed_dim=128, num_heads=2, depth=2,
+        window_size=2, global_attn_indexes=(1,), out_chans=32,
+    )
+    params = ie.init_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(5)
+    for k in ("rel_pos_h", "rel_pos_w"):
+        for blk in ("window_blocks", "global_blocks"):
+            params[blk][k] = jnp.asarray(
+                0.1 * rng.standard_normal(params[blk][k].shape), jnp.float32
+            )
+    qparams = quant.quantize_tree(params, quant.SAM_ENCODER_QUANT_KEYS)
+    img = jnp.asarray(rng.standard_normal((1, 512, 512, 3)), jnp.float32)
+
+    gb0 = jax.tree_util.tree_map(lambda a: a[0], qparams["global_blocks"])
+    assert ie._use_global_fused(
+        gb0, dataclasses.replace(cfg, attn_kernel="pallas_interpret"), cfg.grid
+    )
+    ref = ie.encode(qparams, dataclasses.replace(cfg, attn_kernel="xla"), img)
+    got = ie.encode(
+        qparams, dataclasses.replace(cfg, attn_kernel="pallas_interpret"), img
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), atol=3e-4, rtol=3e-4
+    )

@@ -59,7 +59,13 @@ def main():
             print(f"bt{bt:4d} fc{fc:4d}: {dt*1e3:7.2f} ms  {FLOPS/dt/1e12:6.1f} TF/s  maxdiff {err:.3e}")
 
     if hasattr(mk, "fused_mlp_block_v2"):
-        for kw in ():
+        for kw in (
+            {},
+            {"block_t": 512},
+            {"f_chunk": 2560},
+            {"block_t": 512, "f_chunk": 2560},
+            {"block_t": 1536},
+        ):
             if (T % kw.get("block_t", 512)) or (F % kw.get("f_chunk", 1024)):
                 continue
             f = jax.jit(functools.partial(mk.fused_mlp_block_v2, eps=1e-6, **kw))

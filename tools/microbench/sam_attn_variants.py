@@ -60,8 +60,8 @@ def main():
     Nw = B * 16
     C = H * hd
     y = jnp.asarray(rng.standard_normal((Nw, Sw, 3 * C)).astype(np.float32) * 0.3, jnp.bfloat16)
-    aw = jnp.asarray(rng.standard_normal((H, Nw, Sw, Ww)).astype(np.float32) * 0.1, jnp.bfloat16)
-    bw = jnp.asarray(rng.standard_normal((H, Nw, Sw, Ww)).astype(np.float32) * 0.1, jnp.bfloat16)
+    aw = jnp.asarray(rng.standard_normal((Nw, Sw, H * Ww)).astype(np.float32) * 0.1, jnp.bfloat16)
+    bw = jnp.asarray(rng.standard_normal((Nw, Sw, H * Ww)).astype(np.float32) * 0.1, jnp.bfloat16)
 
     win = jax.jit(
         lambda *x: sa.fused_window_attention_grid(

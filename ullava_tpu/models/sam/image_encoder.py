@@ -361,14 +361,17 @@ def _bias_terms_rect(
     q = y[:, :, :C]
     Ph = (q @ block_diag(rel_pos_h)).reshape(N, rows, cols, H, R)
     Pw = (q @ block_diag(rel_pos_w)).reshape(N, rows, cols, H, R)
-    # Static slice-assembly of the sliding windows (gather-free), laid
-    # out head-leading for the kernel's per-head sheet indexing.
+    # Static slice-assembly of the sliding windows (gather-free). The
+    # result stays in the matmul's natural [N, T, H, W] row-major order
+    # (the kernel lane-slices each head's W columns) — the head-leading
+    # [H, N, T, W] transpose this used to do cost ~110 ms of HBM layout
+    # copies per ViT-H B=48 encode.
     A = jnp.concatenate(
         [Ph[:, i : i + 1, :, :, i : i + W] for i in range(rows)], axis=1
-    ).transpose(3, 0, 1, 2, 4).reshape(H, N, T, W)
+    ).reshape(N, T, H * W)
     Bb = jnp.concatenate(
         [Pw[:, :, j : j + 1, :, j : j + W] for j in range(cols)], axis=2
-    ).transpose(3, 0, 1, 2, 4).reshape(H, N, T, W)
+    ).reshape(N, T, H * W)
     return A, Bb
 
 
@@ -426,6 +429,9 @@ def _attn(x: jax.Array, p: Params, cfg: SamVisionConfig, size: int) -> jax.Array
             A.reshape(N, S, size).astype(qh.dtype),
             Bb.reshape(N, S, size).astype(qh.dtype),
             window=size, scale=hd**-0.5,
+            # Serving mode (int8 dots) also runs the softmax exp in bf16
+            # — the S^2 exp is this kernel's floor; see _tiled_kernel.
+            exp_bf16=cfg.mlp_w8a8,
             interpret=(cfg.attn_kernel == "pallas_interpret"),
         )
         out = out.reshape(B, H, S, hd).transpose(0, 2, 1, 3)
@@ -441,9 +447,71 @@ def _attn(x: jax.Array, p: Params, cfg: SamVisionConfig, size: int) -> jax.Array
     return out.reshape(B, size, size, C)
 
 
+def _use_global_fused(p: Params, cfg: SamVisionConfig, size: int) -> bool:
+    """Serving path for global blocks: LN1+qkv and proj+residual ride the
+    fused int8 kernels (the XLA lowering spends ~110 ms per ViT-H B=48
+    encode on the unfused qkv matmul + bias-add + layout copies, and runs
+    the dots at bf16 rate)."""
+    from ullava_tpu.ops.quant import is_quantized
+
+    return (
+        _use_pallas(cfg, size)
+        and size > 16  # global grid only; window sizes use the grid kernels
+        and is_quantized(p["qkv"])
+        and is_quantized(p["proj"])
+        and (size * size) % 1024 == 0
+    )
+
+
+def _attn_global_fused(x: jax.Array, p: Params, cfg: SamVisionConfig) -> jax.Array:
+    """Global self-attention block body on [B, g, g, C] WITHOUT the outer
+    LN1 applied: returns x + proj(attn(LN1(x))) with LN1+qkv and
+    proj+residual fused (int8 x int8 dots when `mlp_w8a8`).
+
+    Reference: `/root/reference/models/segment_anything/modeling/
+    image_encoder.py:163-185` (Block.forward, window_size == 0)."""
+    from ullava_tpu.ops.mlp_kernel import fused_linear, fused_ln_linear
+
+    B, g, _, C = x.shape
+    H, hd = cfg.num_heads, cfg.head_dim
+    S = g * g
+    interp = cfg.attn_kernel == "pallas_interpret"
+    # Row-chunk to 1024-token tiles so each Pallas block stays a few MB.
+    xt = x.reshape(B * S // 1024, 1024, C)
+    y = fused_ln_linear(
+        xt, p["ln1_scale"], p["ln1_bias"],
+        p["qkv"]["q"], p["qkv"]["scale"], p["qkv_bias"],
+        cfg.layer_norm_eps, w8a8=cfg.mlp_w8a8, interpret=interp,
+    )  # [B*S/1024, 1024, 3C]
+    qkv = y.reshape(B, S, 3, H, hd)
+    q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+    qh = q.transpose(0, 2, 1, 3)  # [B, H, S, hd]
+    kh = k.transpose(0, 2, 1, 3)
+    vh = v.transpose(0, 2, 1, 3)
+    A, Bb = decomposed_bias_terms(
+        qh.reshape(B, H, g, g, hd), p["rel_pos_h"], p["rel_pos_w"], g
+    )
+    N = B * H
+    out = fused_global_attention(
+        qh.reshape(N, S, hd), kh.reshape(N, S, hd), vh.reshape(N, S, hd),
+        A.reshape(N, S, g).astype(qh.dtype),
+        Bb.reshape(N, S, g).astype(qh.dtype),
+        window=g, scale=hd**-0.5, exp_bf16=cfg.mlp_w8a8, interpret=interp,
+    )
+    out = out.reshape(B, H, S, hd).transpose(0, 2, 1, 3).reshape(B, S, C)
+    out = fused_linear(
+        out.reshape(B * S // 1024, 1024, C),
+        p["proj"]["q"], p["proj"]["scale"], p["proj_bias"],
+        residual=xt, w8a8=cfg.mlp_w8a8, interpret=interp,
+    )
+    return out.reshape(B, g, g, C)
+
+
 def _block(x: jax.Array, p: Params, cfg: SamVisionConfig, window: bool) -> jax.Array:
     """One transformer block on [B, gh, gw, C]."""
     B, gh, gw, C = x.shape
+    if not window and _use_global_fused(p, cfg, gh):
+        return _mlp_tail(_attn_global_fused(x, p, cfg), p, cfg)
     shortcut = x
     x = layer_norm(x, p["ln1_scale"], p["ln1_bias"], cfg.layer_norm_eps)
 

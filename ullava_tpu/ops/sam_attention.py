@@ -115,23 +115,26 @@ def _grid_kernel(
     scale: float, window: int,
 ):
     # y [nb, S, 3C] raw qkv projection output (column order (3, H, hd));
-    # a/b [H, nb, S, W] bias terms in REVERSED column order (see
-    # fused_window_attention_grid), pre-scaled by 1/scale — head-leading
-    # so the per-head pick is a sheet index, which Mosaic concats cleanly;
+    # a/b [nb, S, H*W] bias terms in REVERSED column order (see
+    # fused_window_attention_grid), pre-scaled by 1/scale — the matmul's
+    # natural row-major layout, so no XLA-side transpose exists; the
+    # per-head pick is a lane slice exactly like q/k/v;
     # oh [S, 2W] one-hot table matching that order; o [nb, S, C] merged.
     # All head slicing/merging happens on VMEM lanes — the HBM head-split
     # and merge transposes of the earlier pipeline don't exist.
     H, hd, W = num_heads, head_dim, window
     C = H * hd
     y = y_ref[...]
+    a_all = a_ref[...]
+    b_all = b_ref[...]
     nb, S, _ = y.shape
     oh = jnp.broadcast_to(oh_ref[...][None], (nb, S, 2 * W))
     for h in range(H):
         q = y[:, :, h * hd:(h + 1) * hd]
         k = y[:, :, C + h * hd:C + (h + 1) * hd]
         v = y[:, :, 2 * C + h * hd:2 * C + (h + 1) * hd]
-        A = a_ref[h]
-        Bb = b_ref[h]
+        A = a_all[:, :, h * W:(h + 1) * W]
+        Bb = b_all[:, :, h * W:(h + 1) * W]
         qa = jnp.concatenate([q, A, Bb], axis=-1)
         ka = jnp.concatenate([k, oh], axis=-1)
         s = jax.lax.dot_general(
@@ -150,8 +153,8 @@ def _grid_kernel(
 
 def fused_window_attention_grid(
     y: jax.Array,  # [N, S, 3*H*hd] qkv projection output (bias included)
-    bias_a: jax.Array,  # [H, N, S, W] col a' = bias for key row a=W-1-a'
-    bias_b: jax.Array,  # [H, N, S, W] col b' = bias for key col b=W-1-b'
+    bias_a: jax.Array,  # [N, S, H*W] col a' = bias for key row a=W-1-a'
+    bias_b: jax.Array,  # [N, S, H*W] col b' = bias for key col b=W-1-b'
     num_heads: int,
     head_dim: int,
     window: int,
@@ -170,16 +173,17 @@ def fused_window_attention_grid(
     head's output into its lane slot of the merged block — none of those
     copies exist.
 
-    Bias terms arrive pre-scaled by 1/scale in [N, S, H, W] layout with
-    REVERSED columns — the natural output of the P-factorization
-    (A[s, a] = P[s, i(s)+W-1-a], sliced per window row i), which replaces
-    the i-batched einsum with one clean matmul; the reversal is absorbed
-    by the one-hot column order here. See _kernel for the
-    fold-into-the-dot trick.
+    Bias terms arrive pre-scaled by 1/scale in [N, S, H*W] layout with
+    REVERSED columns — the natural row-major output of the
+    P-factorization (A[s, a] = P[s, i(s)+W-1-a], sliced per window row
+    i), which replaces the i-batched einsum with one clean matmul; the
+    reversal is absorbed by the one-hot column order here. See _kernel
+    for the fold-into-the-dot trick.
     """
     N, S, _ = y.shape
     H, hd, W = num_heads, head_dim, window
     assert S == W * W
+    assert bias_a.shape == (N, S, H * W), bias_a.shape
     while n_block > 1 and N % n_block:
         n_block //= 2
     t = jnp.arange(S)
@@ -195,7 +199,7 @@ def fused_window_attention_grid(
         _grid_kernel, num_heads=H, head_dim=hd, scale=scale, window=W
     )
     bias_spec = pl.BlockSpec(
-        (H, n_block, S, W), lambda n: (0, n, 0, 0),
+        (n_block, S, H * W), lambda n: (n, 0, 0),
         memory_space=pltpu.VMEM,
     )
     return pl.pallas_call(
@@ -238,20 +242,27 @@ def _rect_kernel(
     # pad FLOPs in qkv/proj/MLP.
     #
     # y [nb, T, 3C] raw qkv output of the T = rows*cols REAL tokens
-    # (row-major over the window's real rectangle); a/b [H, nb, T, W]
-    # reversed-column bias terms pre-scaled by 1/scale; oh [T, 2W] the
-    # real tokens' one-hot table.
+    # (row-major over the window's real rectangle); a/b [nb, T, H*W]
+    # reversed-column bias terms pre-scaled by 1/scale (natural row-major
+    # layout, per-head pick = lane slice); oh [T, 2W] the real tokens'
+    # one-hot table.
     H, hd = num_heads, head_dim
     C = H * hd
     y = y_ref[...]
+    a_all = a_ref[...]
+    b_all = b_ref[...]
     nb, T, _ = y.shape
+    W = a_all.shape[-1] // H
     P = padk_ref.shape[1]
     oh = jnp.broadcast_to(oh_ref[...][None], (nb, T, oh_ref.shape[-1]))
     for h in range(H):
         q = y[:, :, h * hd:(h + 1) * hd]
         k = y[:, :, C + h * hd:C + (h + 1) * hd]
         v = y[:, :, 2 * C + h * hd:2 * C + (h + 1) * hd]
-        qa = jnp.concatenate([q, a_ref[h], b_ref[h]], axis=-1)
+        qa = jnp.concatenate(
+            [q, a_all[:, :, h * W:(h + 1) * W], b_all[:, :, h * W:(h + 1) * W]],
+            axis=-1,
+        )
         ka = jnp.concatenate([k, oh], axis=-1)  # [nb, T, hd+2W]
         pk = jnp.broadcast_to(padk_ref[h][None], (nb, P, ka.shape[-1]))
         ka = jnp.concatenate([ka, pk], axis=1)  # [nb, T+P, hd+2W]
@@ -274,7 +285,7 @@ def _rect_kernel(
 
 def fused_window_attention_rect(
     y: jax.Array,  # [N, T, 3*H*hd] qkv output, T = rows*cols real tokens
-    bias_a: jax.Array,  # [H, N, T, W] pre-scaled, reversed columns
+    bias_a: jax.Array,  # [N, T, H*W] pre-scaled, reversed columns
     bias_b: jax.Array,
     oh: jax.Array,  # [T, 2W] real-token one-hots (reversed columns)
     pad_k: jax.Array,  # [H, P, hd+2W] virtual pad-key annotations
@@ -292,13 +303,14 @@ def fused_window_attention_rect(
     per-layer qkv-bias table. See `_rect_kernel`."""
     N, T, _ = y.shape
     H, hd, W = num_heads, head_dim, window
+    assert bias_a.shape == (N, T, H * W), bias_a.shape
     while n_block > 1 and N % n_block:
         n_block //= 2
     kernel = functools.partial(
         _rect_kernel, num_heads=H, head_dim=hd, scale=scale
     )
     bias_spec = pl.BlockSpec(
-        (H, n_block, T, W), lambda n: (0, n, 0, 0), memory_space=pltpu.VMEM
+        (n_block, T, H * W), lambda n: (n, 0, 0), memory_space=pltpu.VMEM
     )
     full = lambda a: pl.BlockSpec(
         a.shape, lambda n: (0,) * a.ndim, memory_space=pltpu.VMEM
@@ -329,6 +341,7 @@ def _tiled_kernel(
     q_ref, k_ref, v_ref, a_ref, b_ref, oh_ref, o_ref,
     m_ref, l_ref, acc_ref,
     *, scale: float, window: int, block_q: int, block_k: int,
+    exp_bf16: bool = False,
 ):
     """Flash-style online-softmax attention with decomposed rel-pos bias
     (for the SAM global blocks: S = window^2 = 4096, whose full [S, S]
@@ -359,10 +372,21 @@ def _tiled_kernel(
 
     m_prev = m_ref[:, :1]
     m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
-    p = jnp.exp(s - m_new)
+    if exp_bf16:
+        # Serving mode: the [BQ, BK] exp runs on bf16 (the VPU packs two
+        # bf16 lanes per fp32 op) — this exp over S^2 = 16.7M scores per
+        # (image, head) is the kernel's floor, not the MXU dots. The
+        # running max/sum statistics stay fp32; p was cast to v.dtype for
+        # the av dot anyway, so only the probability mantissa (~2^-8
+        # relative) is affected — below the int8-weight serving noise.
+        p = jnp.exp((s - m_new).astype(jnp.bfloat16))
+        p_sum = jnp.sum(p.astype(jnp.float32), axis=-1, keepdims=True)
+    else:
+        p = jnp.exp(s - m_new)
+        p_sum = jnp.sum(p, axis=-1, keepdims=True)
     alpha = jnp.exp(m_prev - m_new)
     l_ref[...] = jnp.broadcast_to(
-        alpha * l_ref[:, :1] + jnp.sum(p, axis=-1, keepdims=True), l_ref.shape
+        alpha * l_ref[:, :1] + p_sum, l_ref.shape
     )
     acc_ref[...] = acc_ref[...] * alpha + jax.lax.dot_general(
         p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
@@ -385,11 +409,13 @@ def fused_global_attention(
     scale: float,
     block_q: int = 1024,
     block_k: int = 1024,
+    exp_bf16: bool = False,
     interpret: bool = False,
 ) -> jax.Array:
     """Block sizes: 1024x1024 measured 1.4x faster than 512x512 on v5e at
     ViT-H serving shapes (fewer program launches, larger MXU dots); the
-    fp32 score tile is 4 MB, well inside VMEM."""
+    fp32 score tile is 4 MB, well inside VMEM. exp_bf16 runs the softmax
+    exp in bf16 (serving mode, see _tiled_kernel)."""
     N, S, hd = q.shape
     W = window
     block_q = min(block_q, S)
@@ -407,7 +433,7 @@ def fused_global_attention(
     ).astype(q.dtype)  # [S, 2W] one-hot table, blocked by k-tile
     kernel = functools.partial(
         _tiled_kernel, scale=scale, window=window,
-        block_q=block_q, block_k=block_k,
+        block_q=block_q, block_k=block_k, exp_bf16=exp_bf16,
     )
     qspec = pl.BlockSpec((1, block_q, hd), lambda n, iq, ik: (n, iq, 0),
                          memory_space=pltpu.VMEM)
