@@ -393,3 +393,32 @@ def test_silu_mul_quant_bf16():
         np.round(hf * (127.0 / amax)).astype(np.int32),
         atol=1,
     )
+
+
+def test_fused_rotary_matches_apply_rotary():
+    """The one-pass serving rope kernel (interpret mode) == the fp32
+    apply_rotary reference on flat rows, to bf16 output rounding, for
+    both the hd=128 LLaMA shape and a 2-heads-per-128-lane hd=64 shape."""
+    from ullava_tpu.ops.rope import fused_rotary
+
+    rng = np.random.default_rng(6)
+    for H, hd in ((4, 128), (4, 64)):
+        B, S = 2, 8
+        q = jnp.asarray(
+            rng.standard_normal((B, S, H, hd)), jnp.bfloat16
+        )
+        pos = jnp.broadcast_to(jnp.arange(S)[None], (B, S))
+        c, s = rope_cos_sin(pos, hd)
+        ref, _ = apply_rotary(q, q, c, s)  # fp32 compute path
+        got = fused_rotary(
+            q.reshape(B * S, H * hd),
+            c.reshape(B * S, hd).astype(jnp.float32),
+            s.reshape(B * S, hd).astype(jnp.float32),
+            hd,
+            interpret=True,
+        ).reshape(B, S, H, hd)
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32),
+            np.asarray(ref, np.float32),
+            atol=2e-2, rtol=2e-2,
+        )

@@ -181,10 +181,27 @@ def _layer(
     q = proj("q_proj", H)
     k = proj("k_proj", Hkv)
     v = proj("v_proj", Hkv)
-    q, k = apply_rotary(
-        q, k, cos, sin,
-        compute_dtype=None if cfg.rope_f32 else cfg.dtype,
-    )
+    if cache is not None and S > 1 and _on_tpu() and hd % 2 == 0:
+        # Serving prefill: one-pass fused rotary (fp32 in VMEM, bf16
+        # traffic). The XLA rotate_half chain costs ~5 HBM round trips of
+        # q/k per layer (~177 ms per B=48 7B prefill, traced); this is
+        # one. Forward-only (no VJP) — the training path keeps
+        # apply_rotary.
+        from ullava_tpu.ops.rope import fused_rotary
+
+        cos_r = jnp.broadcast_to(cos, (B, S, hd)).reshape(B * S, hd)
+        sin_r = jnp.broadcast_to(sin, (B, S, hd)).reshape(B * S, hd)
+        q = fused_rotary(
+            q.reshape(B * S, H * hd), cos_r, sin_r, hd
+        ).reshape(B, S, H, hd)
+        k = fused_rotary(
+            k.reshape(B * S, Hkv * hd), cos_r, sin_r, hd
+        ).reshape(B, S, Hkv, hd)
+    else:
+        q, k = apply_rotary(
+            q, k, cos, sin,
+            compute_dtype=None if cfg.rope_f32 else cfg.dtype,
+        )
 
     if cache is not None:
         # The FULL stacked cache is threaded through the layer scan as a
