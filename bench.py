@@ -40,6 +40,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 A100_BASELINE = 595_000 / (6 * 3600) / 4
 
 V5E_BF16_PEAK = 197e12  # FLOP/s
+V5E_INT8_PEAK = 394e12  # OP/s
+V5E_HBM_BW = 819e9  # bytes/s
 
 
 def count_matmul_params(tree) -> int:
@@ -308,6 +310,85 @@ def build_res(batch: int):
     return cfg, params
 
 
+def res_roofline(cfg, params, batch: int, prompt_len: int,
+                 max_new_tokens: int) -> dict:
+    """Per-phase achievable-minimum times (seconds per batch) for the RES
+    serving pipeline on one v5e, from model shapes alone.
+
+    These are HARD floors — matmul OPs at MXU peak plus, for decode, the
+    weight+KV HBM reads — not targets: they exclude softmax/LN/rope VPU
+    time, kernel launch, HBM traffic of activations, and the attention
+    exp over S^2 scores (the global-attention VPU floor alone is worth
+    tens of ms at B=48). A measured/floor ratio near 1 therefore means
+    the phase is DONE on one chip and further gains must come from
+    quantization (deeper than int8), sparsity, or more chips."""
+    B = batch
+    n_llm = count_matmul_params(params["core"]["llm"])
+    n_clip = count_matmul_params(params["core"]["vision"])
+    n_sam = count_matmul_params(params["sam"]["image_encoder"])
+    n_samdec = count_matmul_params(params["sam"]["mask_decoder"]) + (
+        count_matmul_params(params["sam"]["prompt_encoder"])
+    )
+    lc, vc = cfg.core.llm, cfg.sam.vision
+
+    # --- LLM phase: CLIP encode (bf16) + prefill (W8A8) + decode ---
+    clip_tokens = cfg.core.vision.num_patches + 1
+    clip_s = 2 * n_clip * clip_tokens * B / V5E_BF16_PEAK
+    prefill_peak = V5E_INT8_PEAK if lc.a8_prefill else V5E_BF16_PEAK
+    prefill_s = 2 * n_llm * prompt_len * B / prefill_peak
+    # flash attention dots (qk + av), bf16
+    flash_s = (
+        2 * 2 * B * lc.num_heads * prompt_len**2 * lc.head_dim
+    ) / V5E_BF16_PEAK
+    # decode: weight-read + KV-read bound (int8 weights; KV at the cache
+    # dtype, average live length over the generated tokens)
+    w_bytes = n_llm  # int8
+    avg_len = prompt_len + max_new_tokens / 2
+    kv_bytes = (
+        2 * lc.num_layers * B * avg_len * lc.num_kv_heads * lc.head_dim
+        * (1 if lc.kv_quant else 2)
+    )
+    decode_s = max_new_tokens * (w_bytes + kv_bytes) / V5E_HBM_BW
+    llm_floor = clip_s + prefill_s + flash_s + decode_s
+
+    # --- SAM phase: ViT-H encode + prompt/mask decode ---
+    sam_tokens = vc.grid * vc.grid
+    sam_peak = V5E_INT8_PEAK if vc.mlp_w8a8 else V5E_BF16_PEAK
+    sam_proj_s = 2 * n_sam * sam_tokens * B / sam_peak
+    n_glb = len(vc.global_attn_indexes)
+    n_win = vc.depth - n_glb
+    glb_attn_s = (
+        n_glb * 2 * 2 * B * vc.num_heads * sam_tokens**2 * vc.head_dim
+    ) / V5E_BF16_PEAK
+    win_attn_s = (
+        n_win * 2 * 2 * B * vc.num_heads
+        * sam_tokens * vc.window_size**2 * vc.head_dim
+    ) / V5E_BF16_PEAK
+    samdec_s = 2 * n_samdec * sam_tokens * B / V5E_BF16_PEAK
+    sam_floor = sam_proj_s + glb_attn_s + win_attn_s + samdec_s
+
+    return {
+        "basis": (
+            "matmul OPs at MXU peak (int8 394T where the phase runs W8A8, "
+            "bf16 197T otherwise) + decode weight/KV HBM reads at 819GB/s; "
+            "EXCLUDES softmax/LN/rope VPU time and activation HBM traffic "
+            "— a hard floor, not a target"
+        ),
+        "llm_floor_s": round(llm_floor, 4),
+        "llm_floor_parts_s": {
+            "clip": round(clip_s, 4), "prefill": round(prefill_s, 4),
+            "flash": round(flash_s, 4), "decode": round(decode_s, 4),
+        },
+        "sam_floor_s": round(sam_floor, 4),
+        "sam_floor_parts_s": {
+            "proj_mlp": round(sam_proj_s, 4),
+            "global_attn": round(glb_attn_s, 4),
+            "window_attn": round(win_attn_s, 4),
+            "mask_decode": round(samdec_s, 4),
+        },
+    }
+
+
 def run_res(batch: int, steps: int, max_new_tokens: int = 32):
     import jax
     import jax.numpy as jnp
@@ -408,9 +489,15 @@ def run_res(batch: int, steps: int, max_new_tokens: int = 32):
         t_llm = timed(serve_llm, params, batch_data)
         seg0 = jnp.zeros((batch, cfg.max_masks, 256), jnp.float32)
         t_sam = timed(serve_sam, params, batch_data["images_sam"], seg0)
+        roof = res_roofline(cfg, params, batch, prompt_len, max_new_tokens)
         phase = {
             "llm_clip_prefill_decode_s": round(t_llm, 4),
             "sam_encode_mask_decode_s": round(t_sam, 4),
+            "roofline": {
+                **roof,
+                "llm_measured_over_floor": round(t_llm / roof["llm_floor_s"], 3),
+                "sam_measured_over_floor": round(t_sam / roof["sam_floor_s"], 3),
+            },
         }
 
     # Matmul-FLOPs MFU (lower bound; attention matmuls excluded).
@@ -467,15 +554,30 @@ def run_res_e2e(batch: int, steps: int, max_new_tokens: int = 32):
     lens = jnp.full((batch,), prompt_len, jnp.int32)
     gen = GenerateConfig(max_new_tokens=max_new_tokens, temperature=0.0)
 
-    # JPEG pool: low-frequency content at camera-ish resolution so decode
-    # cost is realistic (pure noise inflates jpeg entropy 3-4x).
+    # JPEG pool: photographic-entropy frames — a smooth illumination
+    # gradient plus three noise octaves (coarse/mid/fine) — at camera-ish
+    # resolution. The old single-octave low-frequency pool decoded
+    # materially faster than real photographs; pure noise is 3-4x slower.
+    # This lands in the real-photo range (~60-130 KB per 640x480 q85).
     n_pool = 48
     jpegs = []
-    for _ in range(n_pool):
-        small = rng.integers(0, 256, (30, 40, 3)).astype(np.uint8)
-        img = Image.fromarray(small).resize((640, 480), Image.BILINEAR)
+    yy, xx = np.mgrid[0:480, 0:640].astype(np.float32)
+    for k in range(n_pool):
+        base = (
+            110.0
+            + 60.0 * np.sin(xx / 640.0 * (1.5 + k % 3) + 0.3 * k)
+            + 45.0 * np.cos(yy / 480.0 * 2.2 + 0.7 * k)
+        )[..., None]
+        oct1 = np.repeat(np.repeat(
+            rng.standard_normal((30, 40, 3)), 16, 0), 16, 1)
+        oct2 = np.repeat(np.repeat(
+            rng.standard_normal((120, 160, 3)), 4, 0), 4, 1)
+        oct3 = rng.standard_normal((480, 640, 3))
+        frame = np.clip(
+            base + 34.0 * oct1 + 16.0 * oct2 + 6.0 * oct3, 0, 255
+        ).astype(np.uint8)
         buf = io.BytesIO()
-        img.save(buf, "JPEG", quality=85)
+        Image.fromarray(frame).save(buf, "JPEG", quality=85)
         jpegs.append(buf.getvalue())
 
     @jax.jit
@@ -535,6 +637,17 @@ def run_res_e2e(batch: int, steps: int, max_new_tokens: int = 32):
         sizes = np.asarray(list(pool.map(decode_one, range(batch))), np.int32)
         return canvas, sizes
 
+    # --- raw host ingest capacity: decode + resize WITHOUT the device in
+    # the loop. This is the overlap margin the e2e rate rides on: e2e can
+    # only stay within ~10% of device-only while capacity comfortably
+    # exceeds the device rate.
+    host_batch(0)  # warm the thread pool / allocators
+    cap_steps = max(2, steps)
+    t0 = time.perf_counter()
+    for s in range(cap_steps):
+        host_batch(s)
+    host_capacity_ips = batch * cap_steps / (time.perf_counter() - t0)
+
     # --- device-only (canvases staged): transform + model ---
     c0, s0 = host_batch(0)
     c0d, s0d = jax.device_put(c0), jax.device_put(s0)
@@ -570,7 +683,7 @@ def run_res_e2e(batch: int, steps: int, max_new_tokens: int = 32):
     e2e_ips = (batch * steps) / (time.perf_counter() - t0)
     th.join()
     pool.shutdown()
-    return device_ips, e2e_ips
+    return device_ips, e2e_ips, host_capacity_ips
 
 
 def run_stage2(batch: int, steps: int, seq: int = 512):
@@ -705,7 +818,7 @@ def main():
     if preset == "res_e2e":
         steps = int(os.environ.get("BENCH_STEPS", "3"))
         b = int(os.environ.get("BENCH_BATCH", "32"))
-        device_ips, e2e_ips = run_res_e2e(b, steps)
+        device_ips, e2e_ips, host_cap_ips = run_res_e2e(b, steps)
         print(json.dumps({
             "metric": (
                 "RES serving e2e (jpeg in -> on-device CLIP/SAM transforms "
@@ -716,6 +829,9 @@ def main():
             "vs_baseline": round(e2e_ips / A100_BASELINE, 3),
             "comparison_basis": COMPARISON_BASIS,
             "device_only_with_transforms": round(device_ips, 3),
+            # decode+resize alone (loader thread pool, no device): the
+            # host-side ceiling the e2e overlap depends on.
+            "host_ingest_capacity": round(host_cap_ips, 3),
         }))
         return
     if preset == "stage2":
@@ -839,18 +955,33 @@ def main():
                 env = dict(os.environ)
                 env.update(BENCH_PRESET="res_e2e", BENCH_BATCH=str(b),
                            BENCH_SECONDARY="0", BENCH_E2E="0")
-                try:
-                    proc = subprocess.run(
-                        [sys.executable, os.path.abspath(__file__)],
-                        env=env, capture_output=True, text=True, timeout=1800,
-                    )
-                    record["e2e"] = (
-                        json.loads(proc.stdout.strip().splitlines()[-1])
-                        if proc.returncode == 0 and proc.stdout.strip()
-                        else {"error": (proc.stderr or "")[-300:]}
-                    )
-                except Exception as e:
-                    record["e2e"] = {"error": str(e)[-300:]}
+                # The parent still holds its TPU arena while the child
+                # runs; the child occasionally loses the HBM race
+                # (RESOURCE_EXHAUSTED) even at a batch the parent just
+                # proved. Shed what we can and retry once.
+                import gc as _gc
+
+                import jax as _jax
+
+                _gc.collect()
+                _jax.clear_caches()
+                for attempt in range(2):
+                    try:
+                        proc = subprocess.run(
+                            [sys.executable, os.path.abspath(__file__)],
+                            env=env, capture_output=True, text=True,
+                            timeout=1800,
+                        )
+                        record["e2e"] = (
+                            json.loads(proc.stdout.strip().splitlines()[-1])
+                            if proc.returncode == 0 and proc.stdout.strip()
+                            else {"error": (proc.stderr or "")[-300:]}
+                        )
+                    except Exception as e:
+                        record["e2e"] = {"error": str(e)[-300:]}
+                    if "error" not in record["e2e"]:
+                        break
+                    time.sleep(5)
             print(json.dumps(record))
             return
         raise SystemExit(f"res bench failed: {last_err}")

@@ -181,7 +181,13 @@ def _layer(
     q = proj("q_proj", H)
     k = proj("k_proj", Hkv)
     v = proj("v_proj", Hkv)
-    if cache is not None and S > 1 and _on_tpu() and hd % 2 == 0:
+    if (
+        cache is not None and S > 1 and _on_tpu() and hd % 2 == 0
+        # Mosaic block legality: row blocks must divide into multiples of
+        # 8 (or equal R) and the lane dim should be tile-aligned. Serving
+        # shapes satisfy both; tiny/toy shapes fall back to apply_rotary.
+        and (B * S) % 8 == 0 and (Hkv * hd) % 128 == 0
+    ):
         # Serving prefill: one-pass fused rotary (fp32 in VMEM, bf16
         # traffic). The XLA rotate_half chain costs ~5 HBM round trips of
         # q/k per layer (~177 ms per B=48 7B prefill, traced); this is
