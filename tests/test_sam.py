@@ -320,6 +320,60 @@ def test_pallas_global_attention_tiled_parity():
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=3e-4, rtol=3e-4)
 
 
+def test_pallas_global_attention_y_parity():
+    """Lane-sliced global kernel (raw [B,S,3C] qkv input, natural-layout
+    bias, grouped heads) == XLA path, across q/k tiling and both exp
+    modes."""
+    from ullava_tpu.ops.sam_attention import fused_global_attention_y
+    from ullava_tpu.models.sam.image_encoder import rel_pos_bias
+    from ullava_tpu.ops.attention import attention_xla
+
+    rng = np.random.default_rng(17)
+    B, H, W, hd = 2, 4, 16, 32  # hg*hd: 4*32 = 128 lanes; S = 256
+    S, C = W * W, H * hd
+    q = jnp.asarray(rng.standard_normal((B, S, H, hd)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, S, H, hd)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, S, H, hd)), jnp.float32)
+    Rh = jnp.asarray(0.1 * rng.standard_normal((2 * W - 1, hd)), jnp.float32)
+    Rw = jnp.asarray(0.1 * rng.standard_normal((2 * W - 1, hd)), jnp.float32)
+
+    q_grid = q.transpose(0, 2, 1, 3).reshape(B, H, W, W, hd)
+    bias = rel_pos_bias(q_grid, Rh, Rw, W)
+    ref = attention_xla(q, k, v, bias=bias, scale=hd**-0.5)  # [B,S,H,hd]
+    ref = ref.reshape(B, S, C)
+
+    # y = raw qkv projection output: [B, S, 3C] with (q|k|v) lane sections.
+    y = jnp.concatenate(
+        [q.reshape(B, S, C), k.reshape(B, S, C), v.reshape(B, S, C)], axis=-1
+    )
+    # Natural-layout bias terms, pre-scaled by 1/scale (inv = hd**0.5).
+    inv = float(hd**0.5)
+    coords = jnp.arange(W)
+    rel = coords[:, None] - coords[None, :] + (W - 1)
+    RhG = Rh[rel] * inv  # [i, a, hd]
+    RwG = Rw[rel] * inv
+    q5 = q.reshape(B, W, W, H, hd)
+    A = jnp.einsum("nijhc,iac->nijha", q5, RhG).reshape(B, S, H, W)
+    Bb = jnp.einsum("nijhc,jbc->nijhb", q5, RwG).reshape(B, S, H, W)
+
+    for hg, bq, bk in [(4, 128, 128), (4, 256, 128), (4, 128, 256)]:
+        got = fused_global_attention_y(
+            y, A, Bb, num_heads=H, head_dim=hd, window=W, scale=hd**-0.5,
+            block_q=bq, block_k=bk, head_group=hg, interpret=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), atol=3e-4, rtol=3e-4
+        )
+    # bf16-exp serving mode: probability mantissa only (~2^-8 relative).
+    got16 = fused_global_attention_y(
+        y, A, Bb, num_heads=H, head_dim=hd, window=W, scale=hd**-0.5,
+        block_q=128, block_k=128, exp_bf16=True, interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got16), np.asarray(ref), atol=2e-2, rtol=2e-2
+    )
+
+
 def test_packed_attention_weights_match_unpacked():
     """pack_sam_attention (head-major, 128-lane-padded qkv/proj) must be a
     pure relayout: encode output identical to the unpacked XLA path."""

@@ -463,6 +463,40 @@ def _use_global_fused(p: Params, cfg: SamVisionConfig, size: int) -> bool:
     )
 
 
+def _global_head_group(cfg: SamVisionConfig) -> int:
+    """Largest head slab whose q/k/v lanes form 128-aligned blocks of the
+    raw qkv output (the `fused_global_attention_y` requirement); 0 when
+    none exists (fall back to the transpose-staged kernel)."""
+    for hg in (16, 8, 4, 2, 1):
+        if cfg.num_heads % hg == 0 and (hg * cfg.head_dim) % 128 == 0:
+            return hg
+    return 0
+
+
+def _bias_terms_global_natural(
+    y: jax.Array, p: Params, cfg: SamVisionConfig, g: int
+):
+    """Decomposed-bias terms for `fused_global_attention_y`, computed from
+    the raw qkv output's q lanes in their natural [B, i, j, H, hd] order —
+    no [B,H,S,hd] head transpose — with the 1/scale prefold riding the
+    RhG/RwG constants (kills the separate 800 MB-per-term rescale pass).
+    Returns (A, Bb) each [B, S, H, g] in y.dtype."""
+    B, S, _ = y.shape
+    H, hd, C = cfg.num_heads, cfg.head_dim, cfg.embed_dim
+    inv = float(hd**0.5)
+    coords = jnp.arange(g)
+    rel = coords[:, None] - coords[None, :] + (g - 1)  # [g, g]
+    RhG = (p["rel_pos_h"][rel].astype(jnp.float32) * inv)  # [i, a, hd]
+    RwG = (p["rel_pos_w"][rel].astype(jnp.float32) * inv)
+    q5 = y[:, :, :C].reshape(B, g, g, H, hd).astype(jnp.float32)
+    A = jnp.einsum("nijhc,iac->nijha", q5, RhG)
+    Bb = jnp.einsum("nijhc,jbc->nijhb", q5, RwG)
+    return (
+        A.reshape(B, S, H, g).astype(y.dtype),
+        Bb.reshape(B, S, H, g).astype(y.dtype),
+    )
+
+
 def _attn_global_fused(x: jax.Array, p: Params, cfg: SamVisionConfig) -> jax.Array:
     """Global self-attention block body on [B, g, g, C] WITHOUT the outer
     LN1 applied: returns x + proj(attn(LN1(x))) with LN1+qkv and
@@ -483,22 +517,35 @@ def _attn_global_fused(x: jax.Array, p: Params, cfg: SamVisionConfig) -> jax.Arr
         p["qkv"]["q"], p["qkv"]["scale"], p["qkv_bias"],
         cfg.layer_norm_eps, w8a8=cfg.mlp_w8a8, interpret=interp,
     )  # [B*S/1024, 1024, 3C]
-    qkv = y.reshape(B, S, 3, H, hd)
-    q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
-    qh = q.transpose(0, 2, 1, 3)  # [B, H, S, hd]
-    kh = k.transpose(0, 2, 1, 3)
-    vh = v.transpose(0, 2, 1, 3)
-    A, Bb = decomposed_bias_terms(
-        qh.reshape(B, H, g, g, hd), p["rel_pos_h"], p["rel_pos_w"], g
-    )
-    N = B * H
-    out = fused_global_attention(
-        qh.reshape(N, S, hd), kh.reshape(N, S, hd), vh.reshape(N, S, hd),
-        A.reshape(N, S, g).astype(qh.dtype),
-        Bb.reshape(N, S, g).astype(qh.dtype),
-        window=g, scale=hd**-0.5, exp_bf16=cfg.mlp_w8a8, interpret=interp,
-    )
-    out = out.reshape(B, H, S, hd).transpose(0, 2, 1, 3).reshape(B, S, C)
+    hg = _global_head_group(cfg)
+    if hg:
+        # Lane-sliced kernel: q/k/v stay inside y (no head-major staging
+        # transposes), bias terms in their natural einsum layout.
+        from ullava_tpu.ops.sam_attention import fused_global_attention_y
+
+        y3 = y.reshape(B, S, 3 * C)
+        A, Bb = _bias_terms_global_natural(y3, p, cfg, g)
+        out = fused_global_attention_y(
+            y3, A, Bb, num_heads=H, head_dim=hd, window=g, scale=hd**-0.5,
+            head_group=hg, exp_bf16=cfg.mlp_w8a8, interpret=interp,
+        )  # [B, S, C]
+    else:
+        qkv = y.reshape(B, S, 3, H, hd)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        qh = q.transpose(0, 2, 1, 3)  # [B, H, S, hd]
+        kh = k.transpose(0, 2, 1, 3)
+        vh = v.transpose(0, 2, 1, 3)
+        A, Bb = decomposed_bias_terms(
+            qh.reshape(B, H, g, g, hd), p["rel_pos_h"], p["rel_pos_w"], g
+        )
+        N = B * H
+        out = fused_global_attention(
+            qh.reshape(N, S, hd), kh.reshape(N, S, hd), vh.reshape(N, S, hd),
+            A.reshape(N, S, g).astype(qh.dtype),
+            Bb.reshape(N, S, g).astype(qh.dtype),
+            window=g, scale=hd**-0.5, exp_bf16=cfg.mlp_w8a8, interpret=interp,
+        )
+        out = out.reshape(B, H, S, hd).transpose(0, 2, 1, 3).reshape(B, S, C)
     out = fused_linear(
         out.reshape(B * S // 1024, 1024, C),
         p["proj"]["q"], p["proj"]["scale"], p["proj_bias"],

@@ -461,6 +461,175 @@ def fused_global_attention(
     )(q, k, v, a_s, b_s, oh)
 
 
+def _global_y_kernel(
+    yq_ref, yk_ref, yv_ref, a_ref, b_ref, oh_ref, o_ref,
+    m_ref, l_ref, acc_ref,
+    *, scale: float, head_group: int, head_dim: int, exp_bf16: bool,
+):
+    """Per-program: `head_group` heads of one (batch, q-tile, k-tile) cell,
+    q/k/v read as 128-aligned lane slices of the raw qkv output y —
+    see `fused_global_attention_y`."""
+    ik = pl.program_id(3)
+    nk = pl.num_programs(3)
+    hg, hd = head_group, head_dim
+
+    @pl.when(ik == 0)
+    def _init():
+        m_ref[...] = jnp.full_like(m_ref, -1e30)
+        l_ref[...] = jnp.zeros_like(l_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    oh = oh_ref[...]  # [BK, 2W]
+    W = oh.shape[-1] // 2
+    for h in range(hg):
+        q = yq_ref[0, :, h * hd:(h + 1) * hd]
+        k = yk_ref[0, :, h * hd:(h + 1) * hd]
+        v = yv_ref[0, :, h * hd:(h + 1) * hd]
+        # Bias terms arrive pre-scaled by 1/scale (folded into the RhG/RwG
+        # constants on the XLA side), so one augmented dot yields
+        # qk*scale + bias exactly as in `_tiled_kernel`. Per-head bias is a
+        # plain lane slice (Mosaic rejects middle-dim slices in concats).
+        qa = jnp.concatenate(
+            [q, a_ref[0, :, h * W:(h + 1) * W], b_ref[0, :, h * W:(h + 1) * W]],
+            axis=-1,
+        )
+        ka = jnp.concatenate([k, oh], axis=-1)
+        s = jax.lax.dot_general(
+            qa, ka, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+
+        m_prev = m_ref[h, :, :1]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+        if exp_bf16:
+            p = jnp.exp((s - m_new).astype(jnp.bfloat16))
+            p_sum = jnp.sum(p.astype(jnp.float32), axis=-1, keepdims=True)
+        else:
+            p = jnp.exp(s - m_new)
+            p_sum = jnp.sum(p, axis=-1, keepdims=True)
+        alpha = jnp.exp(m_prev - m_new)
+        l_ref[h] = jnp.broadcast_to(
+            alpha * l_ref[h, :, :1] + p_sum, l_ref[h].shape
+        )
+        acc_ref[h] = acc_ref[h] * alpha + jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        m_ref[h] = jnp.broadcast_to(m_new, m_ref[h].shape)
+
+    @pl.when(ik == nk - 1)
+    def _finalize():
+        for h in range(hg):
+            o_ref[0, :, h * hd:(h + 1) * hd] = (
+                acc_ref[h] / l_ref[h, :, :1]
+            ).astype(o_ref.dtype)
+
+
+def fused_global_attention_y(
+    y: jax.Array,  # [B, S, 3C] raw qkv projection output (bias included)
+    bias_a: jax.Array,  # [B, S, H, W] pre-scaled by 1/scale, y.dtype
+    bias_b: jax.Array,  # [B, S, H, W]
+    num_heads: int,
+    head_dim: int,
+    window: int,
+    scale: float,
+    block_q: int = 1024,
+    block_k: int = 1024,
+    head_group: int = 0,
+    exp_bf16: bool = False,
+    interpret: bool = False,
+) -> jax.Array:
+    """Global-block attention that consumes the fused LN+qkv kernel's raw
+    [B, S, 3C] output directly and emits the head-merged [B, S, C] pre-proj
+    activations.
+
+    The `fused_global_attention` pipeline staged q/k/v through HBM
+    relayouts first — a [B,S,3,H,hd] reshape, the [B,H,S,hd] head-major
+    transposes, and a post-attention merge transpose, ~19 ms per ViT-H
+    B=48 global block. Here each program reads q/k/v of a `head_group`
+    head slab as one 128-aligned lane slice of y (hg*hd must be a
+    multiple of 128: 8 heads x 80 = 640 lanes for ViT-H), and the bias
+    terms are taken in their natural einsum layout [B, S, H, W] — no
+    pre-scale pass and no head-leading transpose exist either.
+
+    Reference computation: `/root/reference/models/segment_anything/
+    modeling/image_encoder.py:163-185` (Block.forward, window_size == 0)
+    + `:321-393` (decomposed rel-pos bias)."""
+    B, S, threeC = y.shape
+    H, hd, W = num_heads, head_dim, window
+    C = H * hd
+    assert threeC == 3 * C and S == W * W
+    assert bias_a.shape == (B, S, H, W), bias_a.shape
+    block_q = min(block_q, S)
+    block_k = min(block_k, S)
+    if head_group <= 0:
+        head_group = 1
+        for hg in (16, 8, 4, 2):
+            if H % hg == 0 and (hg * hd) % 128 == 0 and hg * hd <= 1280:
+                head_group = hg
+                break
+    hg = head_group
+    assert H % hg == 0 and (hg * hd) % 128 == 0, (H, hg, hd)
+    G = H // hg
+
+    t = jnp.arange(S)
+    oh = jnp.concatenate(
+        [
+            (t[:, None] // W == jnp.arange(W)[None]),
+            (t[:, None] % W == jnp.arange(W)[None]),
+        ],
+        axis=-1,
+    ).astype(y.dtype)  # [S, 2W]
+
+    kernel = functools.partial(
+        _global_y_kernel, scale=scale, head_group=hg, head_dim=hd,
+        exp_bf16=exp_bf16,
+    )
+    lanes = hg * hd
+
+    def y_spec(section):  # 0=q 1=k 2=v; lane-block index = section*G + g
+        if section == 0:
+            return pl.BlockSpec(
+                (1, block_q, lanes),
+                lambda b, g, iq, ik: (b, iq, g),
+                memory_space=pltpu.VMEM,
+            )
+        return pl.BlockSpec(
+            (1, block_k, lanes),
+            lambda b, g, iq, ik, s=section: (b, ik, s * G + g),
+            memory_space=pltpu.VMEM,
+        )
+
+    bias_spec = pl.BlockSpec(
+        (1, block_q, hg * W), lambda b, g, iq, ik: (b, iq, g),
+        memory_space=pltpu.VMEM,
+    )
+    a_l = bias_a.reshape(B, S, H * W)  # free: contiguous lane merge
+    b_l = bias_b.reshape(B, S, H * W)
+    return pl.pallas_call(
+        kernel,
+        grid=(B, G, pl.cdiv(S, block_q), pl.cdiv(S, block_k)),
+        in_specs=[
+            y_spec(0), y_spec(1), y_spec(2), bias_spec, bias_spec,
+            pl.BlockSpec((block_k, 2 * W), lambda b, g, iq, ik: (ik, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, block_q, lanes), lambda b, g, iq, ik: (b, iq, g),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, S, C), y.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((hg, block_q, 128), jnp.float32),
+            pltpu.VMEM((hg, block_q, 128), jnp.float32),
+            pltpu.VMEM((hg, block_q, hd), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(y, y, y, a_l, b_l, oh)
+
+
 def decomposed_bias_terms(
     q_grid: jax.Array,  # [B, H, W, W, hd] (query positions on the grid)
     rel_pos_h: jax.Array,  # [2W-1, hd]
