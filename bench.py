@@ -217,7 +217,18 @@ def build_res(batch: int):
             # best measured point (11.38 img/s at B=48 vs 11.17 at B=32).
             kv_quant=os.environ.get("BENCH_KV8", "1") == "1",
         ),
-        vision=clip_vit.CLIPVisionConfig(dtype=jnp.bfloat16),
+        vision=clip_vit.CLIPVisionConfig(
+            dtype=jnp.bfloat16,
+            # CLIP serving knobs (BENCH_CLIP_A8=1 / BENCH_CLIP_ATTN=flash):
+            # int8 x int8 layer linears + lane-sliced flash attention over
+            # the pad-masked 257->264 token sequence. Measured a wash at
+            # B=48 (LLM phase 1.4528 vs 1.4530 s with both on — CLIP is
+            # ~7% of the phase and its XLA lowering already overlaps well),
+            # so the defaults stay on the numerically-closer
+            # weight-only/XLA path.
+            a8=os.environ.get("BENCH_CLIP_A8", "0") == "1",
+            attn_impl=os.environ.get("BENCH_CLIP_ATTN", "xla"),
+        ),
         vision_hidden_layer=-2,
         img_start_id=32001, img_end_id=32002,
         vid_start_id=32004, vid_end_id=32005,
@@ -244,6 +255,14 @@ def build_res(batch: int):
     cfg = ullava.UllavaConfig(
         core=core, sam=sam_cfg,
         seg_token_idx=32007, loc_token_idx=32008,
+        # RES serving answers ONE referred object per image (the reference
+        # runs its per-[SEG] prompt-encode/mask-decode loop once per
+        # sample, models/ullava.py:231-256), so the fixed-shape mask slot
+        # cap is 1 here; the general chat path keeps the default 3
+        # (BENCH_MAX_MASKS to override). Each extra slot re-runs the
+        # two-way transformer + upscale on a full image-embedding copy
+        # (~26 ms/batch at B=48).
+        max_masks=int(os.environ.get("BENCH_MAX_MASKS", "1")),
     )
     shapes = jax.eval_shape(lambda k: ullava.init_params(k, cfg), jax.random.PRNGKey(0))
 
@@ -364,7 +383,9 @@ def res_roofline(cfg, params, batch: int, prompt_len: int,
         n_win * 2 * 2 * B * vc.num_heads
         * sam_tokens * vc.window_size**2 * vc.head_dim
     ) / V5E_BF16_PEAK
-    samdec_s = 2 * n_samdec * sam_tokens * B / V5E_BF16_PEAK
+    # Each mask slot runs its own two-way transformer + upscale pass over
+    # a full image-embedding copy (fixed-shape N = max_masks prompts).
+    samdec_s = 2 * n_samdec * sam_tokens * B * cfg.max_masks / V5E_BF16_PEAK
     sam_floor = sam_proj_s + glb_attn_s + win_attn_s + samdec_s
 
     return {

@@ -133,6 +133,35 @@ def test_sam_knob_combinations(sam_fixture, mlp_w8a8, attn_w8a8, layout):
     assert np.abs(got - ref).mean() / denom < 0.1
 
 
+@pytest.mark.parametrize("a8,attn", [
+    (False, "xla"), (True, "xla"),
+    (False, "flash_interpret"), (True, "flash_interpret"),
+])
+def test_clip_knob_combinations(a8, attn):
+    """Every (BENCH_CLIP_A8, BENCH_CLIP_ATTN) combination of the CLIP
+    serving tower runs and stays within serving tolerance of the plain
+    path (flash_interpret exercises the padded masked-flash path the TPU
+    takes at S=257 -> 264; the a8 path is TPU-gated, so on CPU it must be
+    a bitwise no-op)."""
+    from ullava_tpu.models import clip_vit
+
+    # S = 1+9 = 10 % 8 != 0 (exercises the pad), lanes 4*32 = 128
+    # (clears the flash lane gate the 224-pt config meets via 16*64).
+    cfg = clip_vit.CLIPVisionConfig.tiny(image_size=42, hidden_size=128)
+    params = clip_vit.init_params(jax.random.PRNGKey(5), cfg)
+    rng = np.random.default_rng(6)
+    x = jnp.asarray(rng.standard_normal((2, 42, 42, 3)), jnp.float32)
+    ref = np.asarray(
+        clip_vit.forward(params, cfg, x, hidden_layer=-2)["patch_features"]
+    )
+    c = dataclasses.replace(cfg, a8=a8, attn_impl=attn)
+    got = np.asarray(
+        clip_vit.forward(params, c, x, hidden_layer=-2)["patch_features"]
+    )
+    assert np.isfinite(got).all()
+    np.testing.assert_allclose(got, ref, atol=2e-5, rtol=2e-5)
+
+
 @pytest.mark.parametrize("fused_ce", (False, True))
 def test_fused_ce_knob(fused_ce):
     """BENCH_FUSED_CE: streamed-vocab CE == full-logit CE on the stage-1

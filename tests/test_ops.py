@@ -422,3 +422,50 @@ def test_fused_rotary_matches_apply_rotary():
             np.asarray(ref, np.float32),
             atol=2e-2, rtol=2e-2,
         )
+
+
+def test_rms_norm_quant_kernels_match_xla_recipe():
+    """Fused (residual +) RMSNorm + per-row int8 quantize (interpret) ==
+    the XLA chain (rms_norm then apply_linear_a8's quantize recipe),
+    including the returned residual stream and raw abs-max scales."""
+    from ullava_tpu.ops.norms import (
+        rms_norm,
+        rms_norm_quant,
+        rms_norm_residual_quant,
+    )
+
+    rng = np.random.default_rng(7)
+    rows, D = 32, 256
+    x = jnp.asarray(rng.standard_normal((rows, D)), jnp.bfloat16)
+    res = jnp.asarray(rng.standard_normal((rows, D)), jnp.bfloat16)
+    w = jnp.asarray(1.0 + 0.1 * rng.standard_normal((D,)), jnp.bfloat16)
+
+    def ref_quant(h):
+        # fp32 norm formula (the kernel quantizes from the fp32 normed
+        # values; the unfused XLA chain rounds through bf16 first, which
+        # the fused path deliberately skips — strictly less rounding).
+        hf = h.astype(jnp.float32)
+        var = jnp.mean(jnp.square(hf), axis=-1, keepdims=True)
+        n = hf * jax.lax.rsqrt(var + 1e-6) * w.astype(jnp.float32)
+        amax = jnp.maximum(jnp.max(jnp.abs(n), axis=-1, keepdims=True), 1e-12)
+        return jnp.round(n * (127.0 / amax)).astype(jnp.int8), amax
+
+    xq, xs = rms_norm_quant(x, w, 1e-6, interpret=True)
+    rq, rs = ref_quant(x)
+    # int8 round can differ by 1 LSB at exact .5 boundaries under fp32
+    # reassociation; require >=99.9% exact and the rest within 1.
+    diff = np.abs(np.asarray(xq, np.int32) - np.asarray(rq, np.int32))
+    assert (diff <= 1).all() and (diff == 0).mean() > 0.999
+    np.testing.assert_allclose(np.asarray(xs), np.asarray(rs), rtol=1e-6)
+
+    h, xq2, xs2 = rms_norm_residual_quant(x, res, w, 1e-6, interpret=True)
+    h_sum = x.astype(jnp.float32) + res.astype(jnp.float32)
+    np.testing.assert_array_equal(
+        np.asarray(h), np.asarray(h_sum.astype(jnp.bfloat16))
+    )
+    # The kernel norms/quantizes the fp32 sum (the bf16 rounding applies
+    # only to the carried residual stream h).
+    rq2, rs2 = ref_quant(h_sum)
+    diff2 = np.abs(np.asarray(xq2, np.int32) - np.asarray(rq2, np.int32))
+    assert (diff2 <= 1).all() and (diff2 == 0).mean() > 0.999
+    np.testing.assert_allclose(np.asarray(xs2), np.asarray(rs2), rtol=1e-5)

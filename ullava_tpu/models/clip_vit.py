@@ -37,6 +37,15 @@ class CLIPVisionConfig:
     patch_size: int = 14
     layer_norm_eps: float = 1e-5
     dtype: Any = jnp.bfloat16
+    # Serving-only knobs (the CLIP tower is frozen in every reference
+    # training stage and its readout is detached, so forward-only paths
+    # are safe): `a8` runs the layer linears int8 x int8 with per-row
+    # dynamic activation quantization when the weights are quantized;
+    # `attn_impl` 'flash' uses the lane-sliced Pallas kernel (pads the
+    # 257-token sequence to a sublane multiple with masked keys) instead
+    # of XLA's full-score attention.
+    a8: bool = False
+    attn_impl: str = "xla"
 
     @property
     def head_dim(self) -> int:
@@ -136,17 +145,59 @@ def forward(
 
     layers = jax.tree_util.tree_map(lambda a: a[:n_layers], params["layers"])
 
+    from ullava_tpu.ops.attention import _on_tpu
+    from ullava_tpu.ops.quant import apply_linear_a8, is_quantized
+
+    S_real = x.shape[1]
+    # Serving flash path: the 257-token sequence is padded to a sublane
+    # multiple (zero rows) and the pads masked out of attention via
+    # kv_lens; pad-query outputs are garbage sliced off at the end. The
+    # XLA path stays bit-identical to the reference (no pads).
+    interp = cfg.attn_impl == "flash_interpret"
+    use_flash = (
+        (cfg.attn_impl == "flash" and _on_tpu() or interp)
+        and (cfg.num_heads * cfg.head_dim) % 128 == 0
+    )
+    if use_flash and S_real % 8:
+        x = jnp.pad(x, ((0, 0), (0, (-S_real) % 8), (0, 0)))
+    # kv_lens only exists when pads do (keeps the XLA path mask-free).
+    kv_lens = (
+        jnp.full((B,), S_real, jnp.int32) if x.shape[1] != S_real else None
+    )
+
+    def lin(yin, w):
+        if cfg.a8 and is_quantized(w) and _on_tpu():
+            rows = 1
+            for d_ in yin.shape[:-1]:
+                rows *= d_
+            if rows % 8 == 0:
+                return apply_linear_a8(yin, w)
+        return apply_linear(yin, w)
+
     def body(h, p):
         y = layer_norm(h, p["ln1_scale"], p["ln1_bias"], cfg.layer_norm_eps)
         S = y.shape[1]
-        q = (apply_linear(y, p["q_proj"]) + p["q_bias"]).reshape(B, S, cfg.num_heads, cfg.head_dim)
-        k = (apply_linear(y, p["k_proj"]) + p["k_bias"]).reshape(B, S, cfg.num_heads, cfg.head_dim)
-        v = (apply_linear(y, p["v_proj"]) + p["v_bias"]).reshape(B, S, cfg.num_heads, cfg.head_dim)
-        a = attention(q, k, v, causal=False, impl="xla")
-        h = h + apply_linear(a.reshape(B, S, D), p["out_proj"]) + p["out_bias"]
+        q = (lin(y, p["q_proj"]) + p["q_bias"]).reshape(B, S, cfg.num_heads, cfg.head_dim)
+        k = (lin(y, p["k_proj"]) + p["k_bias"]).reshape(B, S, cfg.num_heads, cfg.head_dim)
+        v = (lin(y, p["v_proj"]) + p["v_bias"]).reshape(B, S, cfg.num_heads, cfg.head_dim)
+        if use_flash:
+            from ullava_tpu.ops.attention import flash_attention_fwd_bsh
+
+            lens = (
+                kv_lens if kv_lens is not None
+                else jnp.full((B,), S, jnp.int32)
+            )
+            a = flash_attention_fwd_bsh(
+                q, k, v, lens, causal=False, scale=cfg.head_dim**-0.5,
+                interpret=interp,
+            )
+        else:
+            a = attention(q, k, v, causal=False, kv_lens=kv_lens, impl="xla")
+        h = h + lin(a.reshape(B, S, D), p["out_proj"]) + p["out_bias"]
         y = layer_norm(h, p["ln2_scale"], p["ln2_bias"], cfg.layer_norm_eps)
-        h = h + apply_linear(_quick_gelu(apply_linear(y, p["fc1"]) + p["fc1_bias"]), p["fc2"]) + p["fc2_bias"]
+        h = h + lin(_quick_gelu(lin(y, p["fc1"]) + p["fc1_bias"]), p["fc2"]) + p["fc2_bias"]
         return h, None
 
     x, _ = jax.lax.scan(body, x, layers)
+    x = x[:, :S_real]
     return {"hidden_states": x, "patch_features": x[:, 1:]}

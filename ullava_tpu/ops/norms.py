@@ -113,6 +113,89 @@ def _rms_vjp_bwd(eps, interpret, res, dy):
 _rms_norm_pallas.defvjp(_rms_vjp_fwd, _rms_vjp_bwd)
 
 
+def _rms_quant_kernel(*refs, eps: float, residual: bool):
+    # refs: x, [res], w, [h_out], q_out, s_out
+    it = iter(refs)
+    x_ref = next(it)
+    res_ref = next(it) if residual else None
+    w_ref = next(it)
+    h_ref = next(it) if residual else None
+    q_ref, s_ref = next(it), next(it)
+
+    xf = x_ref[...].astype(jnp.float32)  # [bs, D]
+    if residual:
+        xf = xf + res_ref[...].astype(jnp.float32)
+        h_ref[...] = xf.astype(h_ref.dtype)
+    r = jax.lax.rsqrt(jnp.mean(xf * xf, axis=1, keepdims=True) + eps)
+    n = xf * r * w_ref[...].astype(jnp.float32)
+    # Same per-row symmetric int8 recipe as quant.apply_linear_a8 /
+    # mlp_kernel._row_quant: s_out carries the raw abs-max (consumers
+    # apply amax/127 in the dequant rescale).
+    amax = jnp.maximum(jnp.max(jnp.abs(n), axis=1, keepdims=True), 1e-12)
+    q_ref[...] = jnp.round(n * (127.0 / amax)).astype(jnp.int8)
+    s_ref[...] = amax
+
+
+def _rms_quant_call(x2, res2, w, eps, interpret):
+    rows, D = x2.shape
+    bs = _rms_block_rows(rows, D)
+    residual = res2 is not None
+    row_spec = pl.BlockSpec((bs, D), lambda i: (i, 0))
+    w_spec = pl.BlockSpec((1, D), lambda i: (0, 0))
+    s_spec = pl.BlockSpec((bs, 1), lambda i: (i, 0))
+    in_specs = [row_spec] + ([row_spec] if residual else []) + [w_spec]
+    operands = [x2] + ([res2] if residual else []) + [w.reshape(1, D)]
+    out_specs = ([row_spec] if residual else []) + [row_spec, s_spec]
+    out_shape = (
+        [jax.ShapeDtypeStruct((rows, D), x2.dtype)] if residual else []
+    ) + [
+        jax.ShapeDtypeStruct((rows, D), jnp.int8),
+        jax.ShapeDtypeStruct((rows, 1), jnp.float32),
+    ]
+    out = pl.pallas_call(
+        functools.partial(_rms_quant_kernel, eps=eps, residual=residual),
+        grid=(rows // bs,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(*operands)
+    return out
+
+
+def rms_norm_quant(
+    x: jax.Array, weight: jax.Array, eps: float = 1e-6,
+    interpret: bool = False,
+):
+    """(int8 rows, [rows, 1] f32 abs-max) of RMSNorm(x) in one VMEM pass —
+    the W8A8 prefill's norm + per-row activation quantize without the
+    separate XLA quantize pass over the [B*S, D] normed stream. Pair with
+    `quant.apply_linear_a8_prequant`. Forward-only (serving)."""
+    D = x.shape[-1]
+    xq, xs = _rms_quant_call(x.reshape(-1, D), None, weight, float(eps), interpret)
+    return xq.reshape(x.shape), xs
+
+
+def rms_norm_residual_quant(
+    x: jax.Array, res: jax.Array, weight: jax.Array, eps: float = 1e-6,
+    interpret: bool = False,
+):
+    """(h = x + res, int8 rows of RMSNorm(h), [rows, 1] abs-max) fused:
+    the pre-norm residual add, the norm, and the W8A8 activation quantize
+    are one HBM pass instead of three (the add and quantize each cost a
+    full read+write of the [B*S, D] stream at serving prefill shapes).
+    Forward-only (serving)."""
+    lead = x.shape[:-1]
+    D = x.shape[-1]
+    h, xq, xs = _rms_quant_call(
+        x.reshape(-1, D), res.reshape(-1, D), weight, float(eps), interpret
+    )
+    return h.reshape(x.shape), xq.reshape(x.shape), xs
+
+
 def _on_tpu() -> bool:
     try:
         return jax.devices()[0].platform == "tpu"
