@@ -593,21 +593,21 @@ def _mlp_tail(x: jax.Array, p: Params, cfg: SamVisionConfig) -> jax.Array:
         _use_pallas(cfg, 0)
         and is_quantized(p["fc1"])
         and is_quantized(p["fc2"])
-        and T % 512 == 0
         and p["fc1"]["q"].shape[1] % 512 == 0
     ):
-        from ullava_tpu.ops.mlp_kernel import fused_mlp_block
+        if T % 512 == 0:
+            from ullava_tpu.ops.mlp_kernel import fused_mlp_block
 
-        out = fused_mlp_block(
-            x.reshape(T, C),
-            p["ln2_scale"], p["ln2_bias"],
-            p["fc1"]["q"], p["fc1"]["scale"], p["fc1_bias"],
-            p["fc2"]["q"], p["fc2"]["scale"], p["fc2_bias"],
-            cfg.layer_norm_eps,
-            w8a8=cfg.mlp_w8a8,
-            interpret=(cfg.attn_kernel == "pallas_interpret"),
-        )
-        return out.reshape(x.shape)
+            out = fused_mlp_block(
+                x.reshape(T, C),
+                p["ln2_scale"], p["ln2_bias"],
+                p["fc1"]["q"], p["fc1"]["scale"], p["fc1_bias"],
+                p["fc2"]["q"], p["fc2"]["scale"], p["fc2_bias"],
+                cfg.layer_norm_eps,
+                w8a8=cfg.mlp_w8a8,
+                interpret=(cfg.attn_kernel == "pallas_interpret"),
+            )
+            return out.reshape(x.shape)
 
     y = layer_norm(x, p["ln2_scale"], p["ln2_bias"], cfg.layer_norm_eps)
     y = jax.nn.gelu(apply_linear(y, p["fc1"]) + p["fc1_bias"], approximate=False)
@@ -792,17 +792,85 @@ def _attn_resident_cls(
     return x + (_lin(cfg, out, p["proj"]) + p["proj_bias"])
 
 
+def _merge_edge_classes(xs: Dict[str, jax.Array], p: Params, cfg) -> bool:
+    """Serving gate for processing the right+bottom boundary classes as
+    ONE token stream through qkv/proj/MLP (attention still runs per class
+    — their window geometries differ). Both classes are [B*f, ws*rem, C],
+    so a single leading-dim concat halves the launch count of the three
+    projection kernels (~2 ms/layer at ViT-H B=48)."""
+    from ullava_tpu.ops.quant import is_quantized
+
+    return (
+        "right" in xs
+        and "bottom" in xs
+        and xs["right"].shape == xs["bottom"].shape
+        and _use_pallas(cfg, cfg.window_size)
+        and is_quantized(p["qkv"])
+        and is_quantized(p["proj"])
+    )
+
+
+def _attn_resident_edge_pair(
+    xr: jax.Array, xb: jax.Array, p: Params, cfg: SamVisionConfig
+) -> jax.Array:
+    """Merged right+bottom boundary attention: one fused LN1+qkv call and
+    one fused proj+residual call over the concatenated classes; the rect
+    attention kernel runs per class on free leading-dim slices of y.
+    Returns the merged post-residual stream [2*N, T, C] (caller splits
+    after the shared MLP)."""
+    from ullava_tpu.ops.mlp_kernel import fused_linear, fused_ln_linear
+    from ullava_tpu.ops.sam_attention import fused_window_attention_rect
+
+    W = cfg.window_size
+    H, hd = cfg.num_heads, cfg.head_dim
+    interp = cfg.attn_kernel == "pallas_interpret"
+    Nr = xr.shape[0]
+    xm = jnp.concatenate([xr, xb], axis=0)
+    ym = fused_ln_linear(
+        xm, p["ln1_scale"], p["ln1_bias"],
+        p["qkv"]["q"], p["qkv"]["scale"], p["qkv_bias"],
+        cfg.layer_norm_eps, w8a8=cfg.mlp_w8a8, interpret=interp,
+    )
+    outs = []
+    for name, y in (("right", ym[:Nr]), ("bottom", ym[Nr:])):
+        rows, cols = _class_geometry(name, cfg)
+        A, Bb = _bias_terms_rect(
+            y, p["rel_pos_h"], p["rel_pos_w"], cfg, rows, cols, W
+        )
+        oh = _rect_onehot(rows, cols, W, y.dtype)
+        pad_k, pad_v = _pad_tables(p["qkv_bias"], rows, cols, W, H, hd, y.dtype)
+        outs.append(
+            fused_window_attention_rect(
+                y, A, Bb, oh, pad_k, pad_v, num_heads=H, head_dim=hd,
+                window=W, scale=hd**-0.5, interpret=interp,
+            )
+        )
+    om = jnp.concatenate(outs, axis=0)
+    return fused_linear(
+        om, p["proj"]["q"], p["proj"]["scale"], p["proj_bias"],
+        residual=xm, w8a8=cfg.mlp_w8a8, interpret=interp,
+    )
+
+
 def _block_resident(
     xs: Dict[str, jax.Array], p: Params, cfg: SamVisionConfig
 ) -> Dict[str, jax.Array]:
     """One window-attention transformer block on the resident class dict."""
     out = {}
+    merged = _merge_edge_classes(xs, p, cfg)
     for name, x in xs.items():
+        if merged and name in ("right", "bottom"):
+            continue
         rows, cols = _class_geometry(name, cfg)
         # LN1 + qkv + proj + residual all happen inside (fused kernels
         # on the serving path).
         h = _attn_resident_cls(x, p, cfg, rows, cols)
         out[name] = _mlp_tail(h, p, cfg)
+    if merged:
+        hm = _attn_resident_edge_pair(xs["right"], xs["bottom"], p, cfg)
+        hm = _mlp_tail(hm, p, cfg)
+        Nr = xs["right"].shape[0]
+        out["right"], out["bottom"] = hm[:Nr], hm[Nr:]
     return out
 
 

@@ -166,10 +166,13 @@ def fused_mlp_block(
     1024/1024 measured ~6% faster than 512/512 at the ViT-H shapes.
 
     A layout-preserving 3-D window form ([N, 196, C] per the resident
-    classes, per-window dot chains) was built and measured NET-NEGATIVE
-    at B=48 (SAM phase 2.11 -> 2.17 s): the per-window strided block DMAs
-    cost more than the flat-reshape relayout copies they replace, so the
-    flat 2-D form stays."""
+    classes) was built and measured NET-NEGATIVE twice: round 2's
+    per-window dot chains (SAM phase 2.11 -> 2.17 s, strided block DMAs),
+    and round 4's wb-batched variant (grid walks [wb, 196, C] blocks,
+    dots batched over wb: 32.5/35.2 ms at wb=4/8 vs 25.1 ms for
+    flat-reshape + this kernel at [768,196,1280]x5120 — batched M=196
+    dots starve the MXU more than the 196->200-row-tile relayout copies
+    cost). The flat 2-D form stays."""
     T, C = x.shape
     F = w1_q.shape[1]
     block_t = block_t or (1024 if T % 1024 == 0 else 512)
