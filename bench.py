@@ -38,6 +38,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 # images/sec/chip derived from README.md:332 (595K samples, 6h, 4 GPUs).
 A100_BASELINE = 595_000 / (6 * 3600) / 4
+# BASELINE.json north star: 5x the reference's only per-chip datum.
+TARGET_IMG_S = 5 * A100_BASELINE
 
 V5E_BF16_PEAK = 197e12  # FLOP/s
 V5E_INT8_PEAK = 394e12  # OP/s
@@ -410,6 +412,36 @@ def res_roofline(cfg, params, batch: int, prompt_len: int,
     }
 
 
+def ladder_floors(cfg, params, prompt_len: int, max_new_tokens: int,
+                  batches=(16, 32, 48, 64, 96, 128)) -> dict:
+    """Target-vs-floor reconciliation (VERDICT r4 item 1): floor-implied
+    img/s per batch rung, plus the B->inf asymptote. Only the decode
+    weight-read term is batch-independent (it amortizes per image as B
+    grows); everything else is linear in B, so per-image floor time is
+    a + c/B and the asymptote is 1/a."""
+    rows = []
+    totals = {}
+    for b in batches:
+        r = res_roofline(cfg, params, b, prompt_len, max_new_tokens)
+        totals[b] = r["llm_floor_s"] + r["sam_floor_s"]
+        rows.append({"batch": b, "floor_img_s": round(b / totals[b], 2)})
+    b0, b1 = batches[0], batches[-1]
+    a = (totals[b1] - totals[b0]) / (b1 - b0)  # per-image linear term
+    return {
+        "floors": rows,
+        "asymptote_img_s": round(1.0 / a, 2),
+        "target_img_s": round(TARGET_IMG_S, 2),
+        "note": (
+            "hard matmul+HBM floors per batch rung (see roofline basis); "
+            "the asymptote is the B->inf limit where decode weight reads "
+            "fully amortize. If target_img_s exceeds the asymptote, the "
+            "5x target is not physically reachable on one chip at this "
+            "serving configuration (int8 weights/KV, "
+            f"{max_new_tokens}-token decode) — see STATUS.md."
+        ),
+    }
+
+
 def run_res(batch: int, steps: int, max_new_tokens: int = 32):
     import jax
     import jax.numpy as jnp
@@ -511,6 +543,7 @@ def run_res(batch: int, steps: int, max_new_tokens: int = 32):
         seg0 = jnp.zeros((batch, cfg.max_masks, 256), jnp.float32)
         t_sam = timed(serve_sam, params, batch_data["images_sam"], seg0)
         roof = res_roofline(cfg, params, batch, prompt_len, max_new_tokens)
+        total_floor = roof["llm_floor_s"] + roof["sam_floor_s"]
         phase = {
             "llm_clip_prefill_decode_s": round(t_llm, 4),
             "sam_encode_mask_decode_s": round(t_sam, 4),
@@ -518,8 +551,57 @@ def run_res(batch: int, steps: int, max_new_tokens: int = 32):
                 **roof,
                 "llm_measured_over_floor": round(t_llm / roof["llm_floor_s"], 3),
                 "sam_measured_over_floor": round(t_sam / roof["sam_floor_s"], 3),
+                "floor_img_s": round(batch / total_floor, 2),
+                "target_img_s": round(TARGET_IMG_S, 2),
             },
+            # Target-vs-floor reconciliation across the batch ladder
+            # (pure shape math, no device work; see STATUS.md).
+            "ladder_floors": ladder_floors(
+                cfg, params, prompt_len, max_new_tokens
+            ),
         }
+        if os.environ.get("BENCH_MEASURED_SPLIT", "1") == "1":
+            # Measured LLM sub-phase split (VERDICT r4 item 4): CLIP alone,
+            # then a max_new_tokens=1 generate so decode separates out as
+            # (t_full - t_1step) * n/(n-1); prefill is the remainder of the
+            # 1-step run after CLIP and its single decode step. The
+            # [SEG]-readout + seg-projector tail rides inside "prefill"
+            # residue (sub-ms at these shapes).
+            from ullava_tpu.models import ullava_core as core_mod
+
+            @jax.jit
+            def clip_prog(p, images):
+                return core_mod.encode_image(p["core"], cfg.core, images)
+
+            gen1 = GenerateConfig(max_new_tokens=1, temperature=0.0)
+
+            @jax.jit
+            def serve_llm1(p, b):
+                out = gen_mod.generate(
+                    p["core"], cfg.core, gen1,
+                    input_ids=b["input_ids"], prompt_lens=b["prompt_lens"],
+                    images=b["images"],
+                )
+                return out["sequences"], out["lengths"]
+
+            t_clip = timed(clip_prog, params, batch_data["images"])
+            t_mnt1 = timed(serve_llm1, params, batch_data)
+            n = max_new_tokens
+            decode_s = max((t_llm - t_mnt1) * n / (n - 1), 0.0)
+            prefill_s = max(t_mnt1 - t_clip - decode_s / n, 0.0)
+            fp = roof["llm_floor_parts_s"]
+            phase["llm_measured_parts_s"] = {
+                "clip": round(t_clip, 4),
+                "prefill": round(prefill_s, 4),
+                "decode": round(decode_s, 4),
+                "over_floor": {
+                    "clip": round(t_clip / fp["clip"], 2),
+                    "prefill": round(
+                        prefill_s / (fp["prefill"] + fp["flash"]), 2
+                    ),
+                    "decode": round(decode_s / fp["decode"], 2),
+                },
+            }
 
     # Matmul-FLOPs MFU (lower bound; attention matmuls excluded).
     n_llm = count_matmul_params(params["core"]["llm"])
