@@ -54,7 +54,12 @@ def count_matmul_params(tree) -> int:
     total = 0
     for path, leaf in jax.tree_util.tree_leaves_with_path(tree):
         keys = [str(getattr(p, "key", "")) for p in path]
-        if any(k in ("embed_tokens", "pos_embed", "scale") for k in keys):
+        # "biasw" (precomputed composite rel-pos bias weights) is excluded:
+        # it is a serving-time re-expression of work the roofline already
+        # prices at zero (the floor never counted the bias-term matmuls),
+        # so counting it would inflate the floor and flatter the
+        # measured-over-floor ratio across rounds.
+        if any(k in ("embed_tokens", "pos_embed", "scale", "biasw") for k in keys):
             continue
         if hasattr(leaf, "ndim") and leaf.ndim >= 2:
             total += leaf.size
@@ -252,6 +257,16 @@ def build_res(batch: int):
                 # unfused per-row quantize adds HBM passes worth more than
                 # the int8 MXU gain: 83.2 vs 78.5 ms/img encode at B=16).
                 attn_w8a8=os.environ.get("BENCH_ATTN_A8", "0") == "1",
+                # int8 x int8 attention SCORE dots inside the fused
+                # kernels; av stays bf16. Default OFF: measured MUCH
+                # slower on the fused path at B=48 (global attn 286 ->
+                # 404 ms, window grid 139 -> 376 ms, rect 59 -> 108 ms —
+                # the per-row in-kernel quant + int8 batched-dot lowering
+                # cost far more than the 2x MXU rate saves at hd=80).
+                # This replaces the round-2 unfused-path measurement the
+                # old attn_w8a8 default cited; the projections themselves
+                # DO run int8 x int8 (mlp_w8a8, fused LN+qkv/proj/MLP).
+                attn_dots_i8=os.environ.get("BENCH_ATTN_I8", "0") == "1",
             ),
         )
     cfg = ullava.UllavaConfig(
@@ -326,6 +341,17 @@ def build_res(batch: int):
         from ullava_tpu.models.sam.image_encoder import pack_sam_attention
 
         params["sam"]["image_encoder"] = pack_sam_attention(
+            params["sam"]["image_encoder"], cfg.sam.vision
+        )
+    elif quant_on and os.environ.get("BENCH_BIASW", "1") == "1":
+        # Fold the window rel-pos bias matmuls into the LN+qkv kernel as
+        # precomputed composite weights (BENCH_BIASW=0 for the standalone
+        # bias-term matmuls). Resident-layout serving path only.
+        from ullava_tpu.models.sam.image_encoder import (
+            precompute_window_bias_weights,
+        )
+
+        params["sam"]["image_encoder"] = precompute_window_bias_weights(
             params["sam"]["image_encoder"], cfg.sam.vision
         )
     return cfg, params

@@ -372,6 +372,21 @@ def test_pallas_global_attention_y_parity():
     np.testing.assert_allclose(
         np.asarray(got16), np.asarray(ref), atol=2e-2, rtol=2e-2
     )
+    # int8 score-dot serving mode: per-row quantization noise on the
+    # logits (~1% relative) shifts probabilities slightly; the av dot
+    # stays bf16, so outputs track the reference within a few percent.
+    got_i8 = fused_global_attention_y(
+        y, A, Bb, num_heads=H, head_dim=hd, window=W, scale=hd**-0.5,
+        block_q=128, block_k=128, exp_bf16=True, dots_i8=True,
+        interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_i8), np.asarray(ref), atol=5e-2, rtol=5e-2
+    )
+    # The probability shift must stay small in aggregate too.
+    rms = float(jnp.sqrt(jnp.mean((got_i8 - ref) ** 2)))
+    ref_rms = float(jnp.sqrt(jnp.mean(ref**2)))
+    assert rms < 0.02 * ref_rms, (rms, ref_rms)
 
 
 def test_packed_attention_weights_match_unpacked():
@@ -522,4 +537,54 @@ def test_global_fused_block_matches_xla():
     )
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(ref), atol=3e-4, rtol=3e-4
+    )
+
+
+def test_composite_bias_weights_match_standalone_terms():
+    """`precompute_window_bias_weights` + the dual LN+qkv kernel == the
+    standalone rel-pos bias matmuls on the resident window path (full +
+    edge classes, grid 4 / window 3), within int8-composite tolerance.
+
+    Reference computation: decomposed rel-pos bias,
+    `/root/reference/models/segment_anything/modeling/image_encoder.py:321-393`."""
+    import dataclasses
+
+    from ullava_tpu.models.sam import image_encoder as ie
+    from ullava_tpu.ops import quant
+
+    cfg = ie.SamVisionConfig.tiny(window_size=3, global_attn_indexes=(1, 3))
+    params = ie.init_params(jax.random.PRNGKey(2), cfg)
+    rng = np.random.default_rng(7)
+    for k in ("rel_pos_h", "rel_pos_w"):
+        for blk in ("window_blocks", "global_blocks"):
+            params[blk][k] = jnp.asarray(
+                0.1 * rng.standard_normal(params[blk][k].shape), jnp.float32
+            )
+    # Non-zero qkv bias so the bq @ BD constant term is exercised.
+    params["window_blocks"]["qkv_bias"] = jnp.asarray(
+        0.1 * rng.standard_normal(params["window_blocks"]["qkv_bias"].shape),
+        jnp.float32,
+    )
+    qparams = quant.quantize_tree(params, quant.SAM_ENCODER_QUANT_KEYS)
+    img = jnp.asarray(rng.standard_normal((2, 64, 64, 3)), jnp.float32)
+
+    cfg_res = dataclasses.replace(
+        cfg, attn_kernel="pallas_interpret", window_layout="resident"
+    )
+    base = ie.encode(qparams, cfg_res, img)
+    comp_params = dict(qparams)
+    comp_params.update(
+        ie.precompute_window_bias_weights(qparams, cfg)
+    )
+    assert "biasw" in comp_params["window_blocks"]
+    got = ie.encode(comp_params, cfg_res, img)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(base), atol=5e-3, rtol=5e-3
+    )
+    # And against the reference-style XLA path (end-to-end semantics).
+    ref = ie.encode(
+        qparams, dataclasses.replace(cfg, attn_kernel="xla"), img
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), atol=5e-3, rtol=5e-3
     )

@@ -7,6 +7,7 @@ softmax VPU-cost work (fast exp2, MXU row-sum, deferred normalization).
 
 from __future__ import annotations
 
+import functools
 import os
 import sys
 import time
@@ -69,6 +70,44 @@ def main():
         )
     )
     t = timed(win, y, aw, bw)
+    if os.environ.get("MB_VARIANTS", "0") == "1":
+        # Round-5 block-size sweep: global q-tile height (k/v re-read
+        # traffic scales with S/block_q) and grid windows-per-program.
+        Sg, Wg = 4096, 64
+        yg = jnp.asarray(
+            rng.standard_normal((B, Sg, 3 * C)).astype(np.float32) * 0.3,
+            jnp.bfloat16,
+        )
+        ag = jnp.asarray(
+            rng.standard_normal((B, Sg, H, Wg)).astype(np.float32) * 0.1,
+            jnp.bfloat16,
+        )
+        bg = jnp.asarray(
+            rng.standard_normal((B, Sg, H, Wg)).astype(np.float32) * 0.1,
+            jnp.bfloat16,
+        )
+        for bq in (1024, 2048, 4096):
+            fy = jax.jit(functools.partial(
+                sa.fused_global_attention_y, num_heads=H, head_dim=hd,
+                window=Wg, scale=hd**-0.5, block_q=bq, exp_bf16=True,
+            ))
+            try:
+                t = timed(fy, yg, ag, bg)
+                print(f"global_y bq={bq}: {t*1000:.2f} ms/layer "
+                      f"(x4 = {4*t*1000:.1f} ms/serve)")
+            except Exception as e:
+                print(f"global_y bq={bq}: FAILED {type(e).__name__}")
+        for nb in (4, 8, 16):
+            fw = jax.jit(functools.partial(
+                sa.fused_window_attention_grid, num_heads=H, head_dim=hd,
+                window=Ww, scale=hd**-0.5, n_block=nb,
+            ))
+            try:
+                t = timed(fw, y, aw, bw)
+                print(f"grid nb={nb}: {t*1000:.2f} ms/layer "
+                      f"(x28 = {28*t*1000:.1f} ms/serve, full class)")
+            except Exception as e:
+                print(f"grid nb={nb}: FAILED {type(e).__name__}")
     # NOTE: full-window class ONLY (16 of the ~21 window-equivalents per
     # image, ~77% of tokens); the right/bottom/corner edge classes run the
     # rect kernel and are not benched here, so the x28 extrapolation

@@ -62,6 +62,13 @@ class SamVisionConfig:
     # Serving-only: same int8-activation treatment for the attention
     # qkv/proj projections (~2 TFLOP/img otherwise running bf16-rate).
     attn_w8a8: bool = False
+    # Serving-only: run the attention SCORE dots (qk + rel-pos bias
+    # expansion) int8 x int8 with per-row dynamic quantization inside the
+    # kernels; the av dot stays bf16 (int8 probabilities would truncate
+    # diffuse attention). This is the fused-path resolution of the old
+    # `attn_w8a8` question — the projections themselves already run
+    # int8 x int8 via the fused LN+qkv / proj kernels when `mlp_w8a8`.
+    attn_dots_i8: bool = False
     # Window-block token layout: 'auto' keeps tokens in the compact
     # pad-free window-major layout across each group's window blocks
     # whenever the Pallas kernels are active (grid restored only at the
@@ -375,6 +382,66 @@ def _bias_terms_rect(
     return A, Bb
 
 
+def precompute_window_bias_weights(enc: Params, cfg: SamVisionConfig) -> Params:
+    """Serving-time weight prep: fold the window blocks' decomposed
+    rel-pos bias matmuls into the LN+qkv projection.
+
+    The bias terms are linear in the qkv output's q lanes:
+    A = (LN(x) @ Wq + bq) @ BD(rel_pos_h * sqrt(hd)), so the composite
+    weight Wq @ BD ([C, H*(2W-1)] per layer) and constant bq @ BD are
+    pure functions of frozen parameters. With them, the fused LN+qkv
+    kernel emits the bias-term matrix P alongside y
+    (`ops/mlp_kernel.fused_ln_linear_dual`) and the standalone bias
+    matmuls + their layout copies disappear from the serve.
+
+    Adds `biasw` (int8 per-column, [L, C, 2*H*R]; columns ordered
+    [h-terms | w-terms] as [2, H, R]) and `biasw_bias` ([L, 2*H*R] f32)
+    to `window_blocks`.
+
+    Reference computation: `/root/reference/models/segment_anything/
+    modeling/image_encoder.py:321-393`."""
+    from ullava_tpu.ops.quant import dequantize, quantize_int8
+
+    wb = enc["window_blocks"]
+    C, H, hd, W = cfg.embed_dim, cfg.num_heads, cfg.head_dim, cfg.window_size
+    R = 2 * W - 1
+    inv = float(hd**0.5)  # 1/scale prefold, matching _bias_terms_rect
+    wqkv = dequantize(wb["qkv"], jnp.float32)  # [L, C, 3C]
+    L = wqkv.shape[0]
+    wq = wqkv[..., :C].reshape(L, C, H, hd)
+    rel_h = wb["rel_pos_h"].astype(jnp.float32) * inv  # [L, R, hd]
+    rel_w = wb["rel_pos_w"].astype(jnp.float32) * inv
+    comp_h = jnp.einsum("lchd,lrd->lchr", wq, rel_h)
+    comp_w = jnp.einsum("lchd,lrd->lchr", wq, rel_w)
+    comp = jnp.stack([comp_h, comp_w], axis=2).reshape(L, C, 2 * H * R)
+    bq = wb["qkv_bias"][:, :C].astype(jnp.float32).reshape(L, H, hd)
+    bc_h = jnp.einsum("lhd,lrd->lhr", bq, rel_h)
+    bc_w = jnp.einsum("lhd,lrd->lhr", bq, rel_w)
+    bconst = jnp.stack([bc_h, bc_w], axis=1).reshape(L, 2 * H * R)
+
+    out = dict(enc)
+    out["window_blocks"] = dict(wb)
+    out["window_blocks"]["biasw"] = quantize_int8(comp)
+    out["window_blocks"]["biasw_bias"] = bconst
+    return out
+
+
+def _assemble_bias_terms(P: jax.Array, rows: int, cols: int, W: int, H: int):
+    """[N, T, 2*H*R] composite-kernel bias output -> (A, Bb) [N, T, H*W]
+    in the reversed column order the window kernels expect (same
+    slice-assembly as `_bias_terms_rect`, operating on precomputed P)."""
+    N, T, _ = P.shape
+    R = 2 * W - 1
+    P6 = P.reshape(N, rows, cols, 2, H, R)
+    A = jnp.concatenate(
+        [P6[:, i : i + 1, :, 0, :, i : i + W] for i in range(rows)], axis=1
+    ).reshape(N, T, H * W)
+    Bb = jnp.concatenate(
+        [P6[:, :, j : j + 1, 1, :, j : j + W] for j in range(cols)], axis=2
+    ).reshape(N, T, H * W)
+    return A, Bb
+
+
 def _lin(cfg: SamVisionConfig, x: jax.Array, w) -> jax.Array:
     from ullava_tpu.ops.quant import apply_linear_a8, is_quantized
 
@@ -404,6 +471,7 @@ def _attn(x: jax.Array, p: Params, cfg: SamVisionConfig, size: int) -> jax.Array
         out = fused_window_attention_grid(
             y, A, Bb,
             num_heads=H, head_dim=hd, window=size, scale=hd**-0.5,
+            dots_i8=cfg.attn_dots_i8,
             interpret=(cfg.attn_kernel == "pallas_interpret"),
         )  # [B, S, C] head-merged
         out = _lin(cfg, out, p["proj"]) + p["proj_bias"]
@@ -527,7 +595,8 @@ def _attn_global_fused(x: jax.Array, p: Params, cfg: SamVisionConfig) -> jax.Arr
         A, Bb = _bias_terms_global_natural(y3, p, cfg, g)
         out = fused_global_attention_y(
             y3, A, Bb, num_heads=H, head_dim=hd, window=g, scale=hd**-0.5,
-            head_group=hg, exp_bf16=cfg.mlp_w8a8, interpret=interp,
+            head_group=hg, exp_bf16=cfg.mlp_w8a8,
+            dots_i8=cfg.attn_dots_i8, interpret=interp,
         )  # [B, S, C]
     else:
         qkv = y.reshape(B, S, 3, H, hd)
@@ -595,18 +664,25 @@ def _mlp_tail(x: jax.Array, p: Params, cfg: SamVisionConfig) -> jax.Array:
         and is_quantized(p["fc2"])
         and p["fc1"]["q"].shape[1] % 512 == 0
     ):
-        if T % 512 == 0:
-            from ullava_tpu.ops.mlp_kernel import fused_mlp_block
+        from ullava_tpu.ops.mlp_kernel import fused_mlp_block
 
-            out = fused_mlp_block(
-                x.reshape(T, C),
-                p["ln2_scale"], p["ln2_bias"],
-                p["fc1"]["q"], p["fc1"]["scale"], p["fc1_bias"],
-                p["fc2"]["q"], p["fc2"]["scale"], p["fc2_bias"],
-                cfg.layer_norm_eps,
-                w8a8=cfg.mlp_w8a8,
-                interpret=(cfg.attn_kernel == "pallas_interpret"),
-            )
+        args = (
+            p["ln2_scale"], p["ln2_bias"],
+            p["fc1"]["q"], p["fc1"]["scale"], p["fc1_bias"],
+            p["fc2"]["q"], p["fc2"]["scale"], p["fc2_bias"],
+            cfg.layer_norm_eps,
+        )
+        kw = dict(
+            w8a8=cfg.mlp_w8a8,
+            interpret=(cfg.attn_kernel == "pallas_interpret"),
+        )
+        # NOTE: the kernel's 3-D form (in-VMEM flatten of [N, 196, C]
+        # blocks) was measured MUCH slower at B=48 (window MLP 407+67
+        # reshape -> 752 ms): Mosaic's non-8-aligned sublane relayout
+        # costs far more than the XLA HBM flat-reshape copy pair it
+        # replaces. The flat 2-D route stays.
+        if T % 512 == 0:
+            out = fused_mlp_block(x.reshape(T, C), *args, **kw)
             return out.reshape(x.shape)
 
     y = layer_norm(x, p["ln2_scale"], p["ln2_bias"], cfg.layer_norm_eps)
@@ -747,38 +823,56 @@ def _attn_resident_cls(
     H, hd = cfg.num_heads, cfg.head_dim
     from ullava_tpu.ops.quant import is_quantized
 
+    interp = cfg.attn_kernel == "pallas_interpret"
     if _use_pallas(cfg, W) and is_quantized(p["qkv"]):
         # LN1 + qkv in one kernel: kills the fp32 LN HBM passes AND the
         # batched-conv relayout of the 196-token class tensors (196 is
         # not tile-aligned, so any flat reshape is a real copy), and the
         # dot runs int8 x int8. Layout-preserving: y comes out [N, T, 3C]
-        # exactly as the bias/attention kernels consume it.
-        from ullava_tpu.ops.mlp_kernel import fused_ln_linear
-
-        y = fused_ln_linear(
-            x, p["ln1_scale"], p["ln1_bias"],
-            p["qkv"]["q"], p["qkv"]["scale"], p["qkv_bias"],
-            cfg.layer_norm_eps, w8a8=cfg.mlp_w8a8,
-            interpret=(cfg.attn_kernel == "pallas_interpret"),
+        # exactly as the bias/attention kernels consume it. With
+        # precomputed composite bias weights, the rel-pos bias terms ride
+        # the same kernel as a second output (see
+        # `precompute_window_bias_weights`).
+        from ullava_tpu.ops.mlp_kernel import (
+            fused_ln_linear,
+            fused_ln_linear_dual,
         )
+
+        if "biasw" in p:
+            y, P = fused_ln_linear_dual(
+                x, p["ln1_scale"], p["ln1_bias"],
+                p["qkv"]["q"], p["qkv"]["scale"], p["qkv_bias"],
+                p["biasw"]["q"], p["biasw"]["scale"], p["biasw_bias"],
+                cfg.layer_norm_eps, w8a8=cfg.mlp_w8a8, interpret=interp,
+            )
+            A, Bb = _assemble_bias_terms(P, rows, cols, W, cfg.num_heads)
+        else:
+            y = fused_ln_linear(
+                x, p["ln1_scale"], p["ln1_bias"],
+                p["qkv"]["q"], p["qkv"]["scale"], p["qkv_bias"],
+                cfg.layer_norm_eps, w8a8=cfg.mlp_w8a8, interpret=interp,
+            )
+            A, Bb = _bias_terms_rect(
+                y, p["rel_pos_h"], p["rel_pos_w"], cfg, rows, cols, W
+            )
     else:
         h = layer_norm(x, p["ln1_scale"], p["ln1_bias"], cfg.layer_norm_eps)
         y = _lin(cfg, h, p["qkv"]) + p["qkv_bias"]
-    A, Bb = _bias_terms_rect(
-        y, p["rel_pos_h"], p["rel_pos_w"], cfg, rows, cols, W
-    )
-    interp = cfg.attn_kernel == "pallas_interpret"
+        A, Bb = _bias_terms_rect(
+            y, p["rel_pos_h"], p["rel_pos_w"], cfg, rows, cols, W
+        )
     if rows == W and cols == W:
         out = fused_window_attention_grid(
             y, A, Bb, num_heads=H, head_dim=hd, window=W,
-            scale=hd**-0.5, interpret=interp,
+            scale=hd**-0.5, dots_i8=cfg.attn_dots_i8, interpret=interp,
         )
     else:
         oh = _rect_onehot(rows, cols, W, y.dtype)
         pad_k, pad_v = _pad_tables(p["qkv_bias"], rows, cols, W, H, hd, y.dtype)
         out = fused_window_attention_rect(
             y, A, Bb, oh, pad_k, pad_v, num_heads=H, head_dim=hd,
-            window=W, scale=hd**-0.5, interpret=interp,
+            window=W, scale=hd**-0.5, dots_i8=cfg.attn_dots_i8,
+            interpret=interp,
         )
     if _use_pallas(cfg, W) and is_quantized(p["proj"]):
         # Projection + residual in the layout-preserving 3-D kernel (the
@@ -818,7 +912,11 @@ def _attn_resident_edge_pair(
     attention kernel runs per class on free leading-dim slices of y.
     Returns the merged post-residual stream [2*N, T, C] (caller splits
     after the shared MLP)."""
-    from ullava_tpu.ops.mlp_kernel import fused_linear, fused_ln_linear
+    from ullava_tpu.ops.mlp_kernel import (
+        fused_linear,
+        fused_ln_linear,
+        fused_ln_linear_dual,
+    )
     from ullava_tpu.ops.sam_attention import fused_window_attention_rect
 
     W = cfg.window_size
@@ -826,23 +924,37 @@ def _attn_resident_edge_pair(
     interp = cfg.attn_kernel == "pallas_interpret"
     Nr = xr.shape[0]
     xm = jnp.concatenate([xr, xb], axis=0)
-    ym = fused_ln_linear(
-        xm, p["ln1_scale"], p["ln1_bias"],
-        p["qkv"]["q"], p["qkv"]["scale"], p["qkv_bias"],
-        cfg.layer_norm_eps, w8a8=cfg.mlp_w8a8, interpret=interp,
-    )
+    Pm = None
+    if "biasw" in p:
+        ym, Pm = fused_ln_linear_dual(
+            xm, p["ln1_scale"], p["ln1_bias"],
+            p["qkv"]["q"], p["qkv"]["scale"], p["qkv_bias"],
+            p["biasw"]["q"], p["biasw"]["scale"], p["biasw_bias"],
+            cfg.layer_norm_eps, w8a8=cfg.mlp_w8a8, interpret=interp,
+        )
+    else:
+        ym = fused_ln_linear(
+            xm, p["ln1_scale"], p["ln1_bias"],
+            p["qkv"]["q"], p["qkv"]["scale"], p["qkv_bias"],
+            cfg.layer_norm_eps, w8a8=cfg.mlp_w8a8, interpret=interp,
+        )
     outs = []
     for name, y in (("right", ym[:Nr]), ("bottom", ym[Nr:])):
         rows, cols = _class_geometry(name, cfg)
-        A, Bb = _bias_terms_rect(
-            y, p["rel_pos_h"], p["rel_pos_w"], cfg, rows, cols, W
-        )
+        if Pm is not None:
+            P = Pm[:Nr] if name == "right" else Pm[Nr:]
+            A, Bb = _assemble_bias_terms(P, rows, cols, W, H)
+        else:
+            A, Bb = _bias_terms_rect(
+                y, p["rel_pos_h"], p["rel_pos_w"], cfg, rows, cols, W
+            )
         oh = _rect_onehot(rows, cols, W, y.dtype)
         pad_k, pad_v = _pad_tables(p["qkv_bias"], rows, cols, W, H, hd, y.dtype)
         outs.append(
             fused_window_attention_rect(
                 y, A, Bb, oh, pad_k, pad_v, num_heads=H, head_dim=hd,
-                window=W, scale=hd**-0.5, interpret=interp,
+                window=W, scale=hd**-0.5, dots_i8=cfg.attn_dots_i8,
+                interpret=interp,
             )
         )
     om = jnp.concatenate(outs, axis=0)

@@ -65,7 +65,9 @@ def _gelu_exact(x: jax.Array) -> jax.Array:
 
 
 def _row_quant(x: jax.Array):
-    """Per-row symmetric int8 dynamic quantization (f32 in)."""
+    """Per-row symmetric int8 dynamic quantization (f32 math: Mosaic has
+    no bf16 roundeven, so bf16 inputs convert first)."""
+    x = x.astype(jnp.float32)
     amax = jnp.max(jnp.abs(x), axis=-1, keepdims=True)
     xs = jnp.maximum(amax, 1e-12) * (1.0 / 127.0)
     xq = jnp.round(x * (127.0 / jnp.maximum(amax, 1e-12))).astype(jnp.int8)
@@ -83,9 +85,16 @@ def _kernel(
     k = pl.program_id(1)
     h_dtype = o_ref.dtype
 
+    def _flat(v):
+        # 3-D window blocks ([wb, T, C], T not tile-aligned) flatten to
+        # [wb*T, C] in VMEM so the dots run one tall matmul instead of wb
+        # starved batched ones — and the HBM flat-reshape copy pair the
+        # XLA path needs for non-aligned T never exists.
+        return v.reshape(-1, v.shape[-1]) if v.ndim == 3 else v
+
     @pl.when(k == 0)
     def _prologue():
-        xf = x_ref[...].astype(jnp.float32)
+        xf = _flat(x_ref[...]).astype(jnp.float32)
         mean = jnp.mean(xf, axis=-1, keepdims=True)
         var = jnp.var(xf, axis=-1, keepdims=True)
         normed = (xf - mean) * jax.lax.rsqrt(var + eps)
@@ -116,7 +125,11 @@ def _kernel(
             xn, w1, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
         h = h * s1_ref[...] + b1_ref[...].astype(jnp.float32)
-    h = _gelu_exact(h)  # exact-GELU parity with the reference (see _erf)
+    # exact-GELU parity with the reference (see _erf). A bf16-polynomial
+    # variant was tried in round 5 and removed: measured SLOWER on v5e
+    # (Mosaic bf16 lowering) AND numerically broken (bf16 Horner
+    # cancellation at the erf clamp, max abs err ~1.5).
+    h = _gelu_exact(h)
     if w8a8:
         # Per-row h quantization costs ~3.5 us/program (the lane-dim amax
         # reduce dominates), but a bf16 fc2 measured WORSE (+2 ms/block):
@@ -137,7 +150,8 @@ def _kernel(
     @pl.when(k == n_chunks - 1)
     def _epilogue():
         out = acc_ref[...] + b2_ref[...].astype(jnp.float32)
-        o_ref[...] = (out + x_ref[...].astype(jnp.float32)).astype(o_ref.dtype)
+        out = out + _flat(x_ref[...]).astype(jnp.float32)
+        o_ref[...] = out.reshape(o_ref.shape).astype(o_ref.dtype)
 
 
 def fused_mlp_block(
@@ -166,27 +180,51 @@ def fused_mlp_block(
     1024/1024 measured ~6% faster than 512/512 at the ViT-H shapes.
 
     A layout-preserving 3-D window form ([N, 196, C] per the resident
-    classes) was built and measured NET-NEGATIVE twice: round 2's
-    per-window dot chains (SAM phase 2.11 -> 2.17 s, strided block DMAs),
-    and round 4's wb-batched variant (grid walks [wb, 196, C] blocks,
-    dots batched over wb: 32.5/35.2 ms at wb=4/8 vs 25.1 ms for
-    flat-reshape + this kernel at [768,196,1280]x5120 — batched M=196
-    dots starve the MXU more than the 196->200-row-tile relayout copies
-    cost). The flat 2-D form stays."""
-    T, C = x.shape
+    classes) was built and measured NET-NEGATIVE twice with BATCHED dots:
+    round 2's per-window dot chains (SAM phase 2.11 -> 2.17 s, strided
+    block DMAs), and round 4's wb-batched variant (dots batched over wb:
+    32.5/35.2 ms at wb=4/8 vs 25.1 ms for flat-reshape + this kernel at
+    [768,196,1280]x5120 — batched M=196 dots starve the MXU more than the
+    196->200-row-tile relayout copies cost). The 3-D form accepted HERE is
+    different: blocks arrive [wb, T, C] but flatten to [wb*T, C] in VMEM
+    (`_flat`), so the dots are the same tall matmuls as the 2-D form while
+    the XLA-side flat-reshape HBM copy pair (~67 ms per ViT-H B=48 encode)
+    disappears."""
     F = w1_q.shape[1]
-    block_t = block_t or (1024 if T % 1024 == 0 else 512)
     f_chunk = f_chunk or (1024 if F % 1024 == 0 else 512)
-    assert T % block_t == 0 and F % f_chunk == 0, (T, F)
+    assert F % f_chunk == 0, F
     n_chunks = F // f_chunk
-    kernel = functools.partial(_kernel, eps=eps, n_chunks=n_chunks, w8a8=w8a8)
+    kernel = functools.partial(
+        _kernel, eps=eps, n_chunks=n_chunks, w8a8=w8a8
+    )
 
-    grid = (T // block_t, n_chunks)
+    if x.ndim == 3:
+        N, T, C = x.shape
+        wb = 1
+        while wb < N and wb * T < 1024 and N % (wb * 2) == 0:
+            wb *= 2
+        rows = wb * T
+        grid = (N // wb, n_chunks)
+        tok_spec = pl.BlockSpec(
+            (wb, T, C), lambda i, k: (i, 0, 0), memory_space=pltpu.VMEM
+        )
+        out_shape = jax.ShapeDtypeStruct((N, T, C), x.dtype)
+    else:
+        T, C = x.shape
+        block_t = block_t or (1024 if T % 1024 == 0 else 512)
+        assert T % block_t == 0, T
+        rows = block_t
+        grid = (T // block_t, n_chunks)
+        tok_spec = pl.BlockSpec(
+            (block_t, C), lambda i, k: (i, 0), memory_space=pltpu.VMEM
+        )
+        out_shape = jax.ShapeDtypeStruct((T, C), x.dtype)
+
     out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((block_t, C), lambda i, k: (i, 0), memory_space=pltpu.VMEM),
+            tok_spec,
             pl.BlockSpec((1, C), lambda i, k: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, C), lambda i, k: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((C, f_chunk), lambda i, k: (0, k), memory_space=pltpu.VMEM),
@@ -196,14 +234,12 @@ def fused_mlp_block(
             pl.BlockSpec((1, C), lambda i, k: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, C), lambda i, k: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(
-            (block_t, C), lambda i, k: (i, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((T, C), x.dtype),
+        out_specs=tok_spec,
+        out_shape=out_shape,
         scratch_shapes=[
-            pltpu.VMEM((block_t, C), jnp.int8 if w8a8 else x.dtype),
-            pltpu.VMEM((block_t, 128), jnp.float32),  # per-row act scales
-            pltpu.VMEM((block_t, C), jnp.float32),
+            pltpu.VMEM((rows, C), jnp.int8 if w8a8 else x.dtype),
+            pltpu.VMEM((rows, 128), jnp.float32),  # per-row act scales
+            pltpu.VMEM((rows, C), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024
@@ -535,6 +571,126 @@ def fused_ln_linear(
         interpret=interpret,
     )(*operands)
     return out[0] if squeeze else out
+
+
+def _ln_linear2_kernel(
+    x_ref, ln_s_ref, ln_b_ref,
+    w_ref, s_ref, b_ref,
+    w2_ref, s2_ref, b2_ref,
+    o_ref, o2_ref,
+    *, eps: float, w8a8: bool,
+):
+    for wi in range(x_ref.shape[0]):
+        xf = x_ref[wi].astype(jnp.float32)
+        mean = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.var(xf, axis=-1, keepdims=True)
+        xf = (xf - mean) * jax.lax.rsqrt(var + eps)
+        xf = xf * ln_s_ref[...].astype(jnp.float32) + ln_b_ref[...].astype(
+            jnp.float32
+        )
+        if w8a8:
+            xq, xs = _row_quant(xf)
+            y = jax.lax.dot_general(
+                xq, w_ref[...], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.float32) * (xs * s_ref[...]) + b_ref[...].astype(
+                jnp.float32
+            )
+            p = jax.lax.dot_general(
+                xq, w2_ref[...], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.float32) * (xs * s2_ref[...]) + b2_ref[...].astype(
+                jnp.float32
+            )
+        else:
+            xh = xf.astype(o_ref.dtype)
+            y = jax.lax.dot_general(
+                xh, w_ref[...].astype(o_ref.dtype), (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * s_ref[...] + b_ref[...].astype(jnp.float32)
+            p = jax.lax.dot_general(
+                xh, w2_ref[...].astype(o_ref.dtype), (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * s2_ref[...] + b2_ref[...].astype(jnp.float32)
+        o_ref[wi] = y.astype(o_ref.dtype)
+        o2_ref[wi] = p.astype(o2_ref.dtype)
+
+
+def fused_ln_linear_dual(
+    x: jax.Array,  # [N, T, C] (window-major classes) or [T, C]
+    ln_scale: jax.Array,  # [C]
+    ln_bias: jax.Array,  # [C]
+    w_q: jax.Array,  # [C, F] int8
+    w_scale: jax.Array,  # [1, F] f32
+    bias: jax.Array,  # [F]
+    w2_q: jax.Array,  # [C, F2] int8 (e.g. composite rel-pos bias weights)
+    w2_scale: jax.Array,  # [1, F2] f32
+    bias2: jax.Array,  # [F2]
+    eps: float,
+    w8a8: bool = True,
+    interpret: bool = False,
+):
+    """`fused_ln_linear` with a second weight set sharing the same LN'd
+    (and quantized) activations: returns (x_n @ W + b, x_n @ W2 + b2).
+
+    Built for the SAM window blocks' decomposed rel-pos bias terms: since
+    A = (LN(x) @ Wq + bq) @ BD(rel_pos) = LN(x) @ (Wq @ BD) + bq @ BD, the
+    per-layer composite weight Wq @ BD can be precomputed
+    (`image_encoder.precompute_window_bias_weights`) and the bias terms
+    fall out of the qkv projection pass itself — the standalone
+    [*, T, 3C] x [3C -> H*(2W-1)] bias matmuls and their layout copies
+    (~88 ms per ViT-H B=48 encode) never exist.
+
+    Reference computation: `/root/reference/models/segment_anything/
+    modeling/image_encoder.py:321-393` (decomposed rel-pos bias)."""
+    squeeze = x.ndim == 2
+    if squeeze:
+        x = x[None]
+    N, T, C = x.shape
+    F = w_q.shape[1]
+    F2 = w2_q.shape[1]
+    wb = 1
+    while wb < N and wb * T < 1024 and N % (wb * 2) == 0:
+        wb *= 2
+    kernel = functools.partial(_ln_linear2_kernel, eps=eps, w8a8=w8a8)
+    vec = lambda d: pl.BlockSpec(  # noqa: E731
+        (1, d), lambda i: (0, 0), memory_space=pltpu.VMEM
+    )
+    outs = pl.pallas_call(
+        kernel,
+        grid=(N // wb,),
+        in_specs=[
+            pl.BlockSpec((wb, T, C), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            vec(C), vec(C),
+            pl.BlockSpec((C, F), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            vec(F), vec(F),
+            pl.BlockSpec((C, F2), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            vec(F2), vec(F2),
+        ],
+        out_specs=[
+            pl.BlockSpec((wb, T, F), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((wb, T, F2), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((N, T, F), x.dtype),
+            jax.ShapeDtypeStruct((N, T, F2), x.dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(
+        x,
+        ln_scale.reshape(1, C), ln_bias.reshape(1, C),
+        w_q, w_scale.reshape(1, F).astype(jnp.float32), bias.reshape(1, F),
+        w2_q, w2_scale.reshape(1, F2).astype(jnp.float32),
+        bias2.reshape(1, F2),
+    )
+    y, p = outs
+    return (y[0], p[0]) if squeeze else (y, p)
 
 
 def fused_linear(

@@ -112,7 +112,7 @@ def fused_window_attention(
 
 def _grid_kernel(
     y_ref, a_ref, b_ref, oh_ref, o_ref, *, num_heads: int, head_dim: int,
-    scale: float, window: int,
+    scale: float, window: int, dots_i8: bool = False,
 ):
     # y [nb, S, 3C] raw qkv projection output (column order (3, H, hd));
     # a/b [nb, S, H*W] bias terms in REVERSED column order (see
@@ -135,12 +135,29 @@ def _grid_kernel(
         v = y[:, :, 2 * C + h * hd:2 * C + (h + 1) * hd]
         A = a_all[:, :, h * W:(h + 1) * W]
         Bb = b_all[:, :, h * W:(h + 1) * W]
-        qa = jnp.concatenate([q, A, Bb], axis=-1)
-        ka = jnp.concatenate([k, oh], axis=-1)
-        s = jax.lax.dot_general(
-            qa, ka, (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        ) * scale
+        if dots_i8:
+            # int8 x int8 score dots (see _global_y_kernel): per-row q/k
+            # and bias-term quantization in VMEM; the one-hot table is
+            # exact in int8; av stays bf16.
+            qq, qs = _rq_rows(q)
+            kq, ks = _rq_rows(k)
+            abq, abss = _rq_rows(jnp.concatenate([A, Bb], axis=-1))
+            s_qk = jax.lax.dot_general(
+                qq, kq, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.float32) * (qs * jnp.swapaxes(ks, 1, 2))
+            s_b = jax.lax.dot_general(
+                abq, oh_ref[...], (((2,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.float32) * abss
+            s = (s_qk + s_b) * scale
+        else:
+            qa = jnp.concatenate([q, A, Bb], axis=-1)
+            ka = jnp.concatenate([k, oh], axis=-1)
+            s = jax.lax.dot_general(
+                qa, ka, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            ) * scale
         m = jnp.max(s, axis=-1, keepdims=True)
         p = jnp.exp(s - m)
         p = p / jnp.sum(p, axis=-1, keepdims=True)
@@ -160,6 +177,7 @@ def fused_window_attention_grid(
     window: int,
     scale: float,
     n_block: int = 4,
+    dots_i8: bool = False,
     interpret: bool = False,
 ) -> jax.Array:
     """Grid-native windowed attention: consumes the raw [N, S, 3C] qkv
@@ -194,9 +212,10 @@ def fused_window_attention_grid(
             (t[:, None] % W == W - 1 - jnp.arange(W)[None]),
         ],
         axis=-1,
-    ).astype(y.dtype)  # [S, 2W]
+    ).astype(jnp.int8 if dots_i8 else y.dtype)  # [S, 2W]
     kernel = functools.partial(
-        _grid_kernel, num_heads=H, head_dim=hd, scale=scale, window=W
+        _grid_kernel, num_heads=H, head_dim=hd, scale=scale, window=W,
+        dots_i8=dots_i8,
     )
     bias_spec = pl.BlockSpec(
         (n_block, S, H * W), lambda n: (n, 0, 0),
@@ -224,7 +243,7 @@ def fused_window_attention_grid(
 
 def _rect_kernel(
     y_ref, a_ref, b_ref, oh_ref, padk_ref, padv_ref, o_ref,
-    *, num_heads: int, head_dim: int, scale: float,
+    *, num_heads: int, head_dim: int, scale: float, dots_i8: bool = False,
 ):
     # Boundary-window attention over COMPACT tokens with IMPLICIT pad keys.
     #
@@ -259,17 +278,37 @@ def _rect_kernel(
         q = y[:, :, h * hd:(h + 1) * hd]
         k = y[:, :, C + h * hd:C + (h + 1) * hd]
         v = y[:, :, 2 * C + h * hd:2 * C + (h + 1) * hd]
-        qa = jnp.concatenate(
-            [q, a_all[:, :, h * W:(h + 1) * W], b_all[:, :, h * W:(h + 1) * W]],
-            axis=-1,
-        )
-        ka = jnp.concatenate([k, oh], axis=-1)  # [nb, T, hd+2W]
-        pk = jnp.broadcast_to(padk_ref[h][None], (nb, P, ka.shape[-1]))
-        ka = jnp.concatenate([ka, pk], axis=1)  # [nb, T+P, hd+2W]
-        s = jax.lax.dot_general(
-            qa, ka, (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        ) * scale  # [nb, T, T+P]
+        A_h = a_all[:, :, h * W:(h + 1) * W]
+        B_h = b_all[:, :, h * W:(h + 1) * W]
+        qa = jnp.concatenate([q, A_h, B_h], axis=-1)
+        if dots_i8:
+            # int8 x int8 score dots over the REAL keys (see
+            # _global_y_kernel); the tiny pad-key dot (P <= W^2 - T
+            # columns) stays bf16 against the constant pad table.
+            qq, qs = _rq_rows(q)
+            kq, ks = _rq_rows(k)
+            abq, abss = _rq_rows(jnp.concatenate([A_h, B_h], axis=-1))
+            s_real = jax.lax.dot_general(
+                qq, kq, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.float32) * (qs * jnp.swapaxes(ks, 1, 2))
+            s_real = s_real + jax.lax.dot_general(
+                abq, oh_ref[...], (((2,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.float32) * abss
+            s_pad = jax.lax.dot_general(
+                qa, padk_ref[h], (((2,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            s = jnp.concatenate([s_real, s_pad], axis=-1) * scale
+        else:
+            ka = jnp.concatenate([k, oh], axis=-1)  # [nb, T, hd+2W]
+            pk = jnp.broadcast_to(padk_ref[h][None], (nb, P, ka.shape[-1]))
+            ka = jnp.concatenate([ka, pk], axis=1)  # [nb, T+P, hd+2W]
+            s = jax.lax.dot_general(
+                qa, ka, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            ) * scale  # [nb, T, T+P]
         m = jnp.max(s, axis=-1, keepdims=True)
         p = jnp.exp(s - m)
         p = p / jnp.sum(p, axis=-1, keepdims=True)
@@ -295,6 +334,7 @@ def fused_window_attention_rect(
     window: int,
     scale: float,
     n_block: int = 4,
+    dots_i8: bool = False,
     interpret: bool = False,
 ) -> jax.Array:
     """Windowed attention for BOUNDARY windows of the pad-free resident
@@ -306,8 +346,10 @@ def fused_window_attention_rect(
     assert bias_a.shape == (N, T, H * W), bias_a.shape
     while n_block > 1 and N % n_block:
         n_block //= 2
+    if dots_i8:
+        oh = oh.astype(jnp.int8)  # exact: one-hot values are 0/1
     kernel = functools.partial(
-        _rect_kernel, num_heads=H, head_dim=hd, scale=scale
+        _rect_kernel, num_heads=H, head_dim=hd, scale=scale, dots_i8=dots_i8
     )
     bias_spec = pl.BlockSpec(
         (n_block, T, H * W), lambda n: (n, 0, 0), memory_space=pltpu.VMEM
@@ -461,10 +503,19 @@ def fused_global_attention(
     )(q, k, v, a_s, b_s, oh)
 
 
+def _rq_rows(x: jax.Array):
+    """Per-row symmetric int8 quantization in VMEM (f32 scales)."""
+    xf = x.astype(jnp.float32)
+    amax = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1, keepdims=True), 1e-12)
+    q = jnp.round(xf * (127.0 / amax)).astype(jnp.int8)
+    return q, amax * (1.0 / 127.0)
+
+
 def _global_y_kernel(
     yq_ref, yk_ref, yv_ref, a_ref, b_ref, oh_ref, o_ref,
     m_ref, l_ref, acc_ref,
     *, scale: float, head_group: int, head_dim: int, exp_bf16: bool,
+    dots_i8: bool = False,
 ):
     """Per-program: `head_group` heads of one (batch, q-tile, k-tile) cell,
     q/k/v read as 128-aligned lane slices of the raw qkv output y —
@@ -489,14 +540,42 @@ def _global_y_kernel(
         # constants on the XLA side), so one augmented dot yields
         # qk*scale + bias exactly as in `_tiled_kernel`. Per-head bias is a
         # plain lane slice (Mosaic rejects middle-dim slices in concats).
-        qa = jnp.concatenate(
-            [q, a_ref[0, :, h * W:(h + 1) * W], b_ref[0, :, h * W:(h + 1) * W]],
-            axis=-1,
-        )
-        ka = jnp.concatenate([k, oh], axis=-1)
-        s = jax.lax.dot_general(
-            qa, ka, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale
+        if dots_i8:
+            # int8 x int8 score dots (serving): q/k rows and the bias-term
+            # rows quantize per-row in VMEM (the one-hot table is exact in
+            # int8), so the qk and bias-expansion dots run at the MXU's
+            # 2x int8 rate. Scales dequantize on the [BQ, BK] tile: per-row
+            # q scale broadcasts down columns, per-key k scale broadcasts
+            # across rows (one [BK,1]->[1,BK] VMEM transpose). The av dot
+            # stays bf16: probabilities are too diffuse for int8.
+            qq, qs = _rq_rows(q)
+            kq, ks = _rq_rows(k)
+            ab = jnp.concatenate(
+                [a_ref[0, :, h * W:(h + 1) * W],
+                 b_ref[0, :, h * W:(h + 1) * W]],
+                axis=-1,
+            )
+            abq, abss = _rq_rows(ab)
+            s_qk = jax.lax.dot_general(
+                qq, kq, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.float32) * (qs * jnp.transpose(ks))
+            s_b = jax.lax.dot_general(
+                abq, oh, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.float32) * abss
+            s = (s_qk + s_b) * scale
+        else:
+            qa = jnp.concatenate(
+                [q, a_ref[0, :, h * W:(h + 1) * W],
+                 b_ref[0, :, h * W:(h + 1) * W]],
+                axis=-1,
+            )
+            ka = jnp.concatenate([k, oh], axis=-1)
+            s = jax.lax.dot_general(
+                qa, ka, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale
 
         m_prev = m_ref[h, :, :1]
         m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
@@ -536,6 +615,7 @@ def fused_global_attention_y(
     block_k: int = 1024,
     head_group: int = 0,
     exp_bf16: bool = False,
+    dots_i8: bool = False,
     interpret: bool = False,
 ) -> jax.Array:
     """Global-block attention that consumes the fused LN+qkv kernel's raw
@@ -578,11 +658,11 @@ def fused_global_attention_y(
             (t[:, None] % W == jnp.arange(W)[None]),
         ],
         axis=-1,
-    ).astype(y.dtype)  # [S, 2W]
+    ).astype(jnp.int8 if dots_i8 else y.dtype)  # [S, 2W]
 
     kernel = functools.partial(
         _global_y_kernel, scale=scale, head_group=hg, head_dim=hd,
-        exp_bf16=exp_bf16,
+        exp_bf16=exp_bf16, dots_i8=dots_i8,
     )
     lanes = hg * hd
 
