@@ -21,7 +21,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ullava_tpu.ops import attention as att
+# NOTE: both `from ullava_tpu.ops import attention` and
+# `import ullava_tpu.ops.attention as att` resolve to the `attention`
+# FUNCTION re-exported by ops/__init__ (the package attribute shadows
+# the submodule); importlib returns the module itself.
+import importlib
+
+att = importlib.import_module("ullava_tpu.ops.attention")
 
 
 def fence(o):

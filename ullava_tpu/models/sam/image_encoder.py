@@ -426,10 +426,15 @@ def precompute_window_bias_weights(enc: Params, cfg: SamVisionConfig) -> Params:
     return out
 
 
-def _assemble_bias_terms(P: jax.Array, rows: int, cols: int, W: int, H: int):
-    """[N, T, 2*H*R] composite-kernel bias output -> (A, Bb) [N, T, H*W]
-    in the reversed column order the window kernels expect (same
-    slice-assembly as `_bias_terms_rect`, operating on precomputed P)."""
+def _assemble_bias_terms(
+    P: jax.Array, rows: int, cols: int, W: int, H: int, pad_rows: int = 0
+):
+    """[N, rows*cols, 2*H*R] composite-kernel bias output -> (A, Bb)
+    [N, rows*cols + pad_rows, H*W] in the reversed column order the window
+    kernels expect (same slice-assembly as `_bias_terms_rect`, operating
+    on precomputed P). `pad_rows` appends zero rows for the tile-aligned
+    padded window layout (pad keys are masked in the kernel, so their
+    bias values are irrelevant; zeros keep them finite)."""
     N, T, _ = P.shape
     R = 2 * W - 1
     P6 = P.reshape(N, rows, cols, 2, H, R)
@@ -439,6 +444,10 @@ def _assemble_bias_terms(P: jax.Array, rows: int, cols: int, W: int, H: int):
     Bb = jnp.concatenate(
         [P6[:, :, j : j + 1, 1, :, j : j + W] for j in range(cols)], axis=2
     ).reshape(N, T, H * W)
+    if pad_rows:
+        tail = jnp.zeros((N, pad_rows, H * W), P.dtype)
+        A = jnp.concatenate([A, tail], axis=1)
+        Bb = jnp.concatenate([Bb, tail], axis=1)
     return A, Bb
 
 
@@ -713,8 +722,16 @@ def _class_geometry(name: str, cfg: SamVisionConfig) -> Tuple[int, int]:
     }[name]
 
 
-def _partition_resident(x: jax.Array, ws: int) -> Dict[str, jax.Array]:
-    """[B, g, g, C] -> compact window-major class tensors [N, T, C]."""
+def _partition_resident(
+    x: jax.Array, ws: int, pad_full_to: int = 0
+) -> Dict[str, jax.Array]:
+    """[B, g, g, C] -> compact window-major class tensors [N, T, C].
+
+    `pad_full_to` (serving): zero-pad the full class's token dim to a
+    tile-aligned row count (196 -> 200 for ViT-H) so every downstream
+    flat reshape is a free bitcast instead of a sublane-relayout HBM copy
+    pair (~67 ms per B=48 encode). Pad rows are masked as attention keys
+    and dropped at unpartition."""
     B, g, _, C = x.shape
     f, rem = divmod(g, ws)
     e = f * ws
@@ -724,6 +741,10 @@ def _partition_resident(x: jax.Array, ws: int) -> Dict[str, jax.Array]:
         .transpose(0, 1, 3, 2, 4, 5)
         .reshape(B * f * f, ws * ws, C)
     )
+    if pad_full_to and pad_full_to > ws * ws:
+        full = jnp.pad(
+            full, ((0, 0), (0, pad_full_to - ws * ws), (0, 0))
+        )
     out = {"full": full}
     if rem:
         out["right"] = x[:, :e, e:].reshape(B * f, ws * rem, C)
@@ -740,12 +761,15 @@ def _partition_resident(x: jax.Array, ws: int) -> Dict[str, jax.Array]:
 def _unpartition_resident(
     cls: Dict[str, jax.Array], B: int, g: int, ws: int
 ) -> jax.Array:
-    """Inverse of `_partition_resident`."""
+    """Inverse of `_partition_resident` (drops any full-class pad rows)."""
     C = cls["full"].shape[-1]
     f, rem = divmod(g, ws)
     e = f * ws
+    full_t = cls["full"]
+    if full_t.shape[1] != ws * ws:  # padded layout: drop the pad tail
+        full_t = full_t[:, : ws * ws]
     full = (
-        cls["full"]
+        full_t
         .reshape(B, f, f, ws, ws, C)
         .transpose(0, 1, 3, 2, 4, 5)
         .reshape(B, e, e, C)
@@ -839,13 +863,17 @@ def _attn_resident_cls(
         )
 
         if "biasw" in p:
+            pad_rows = x.shape[1] - rows * cols  # padded full-class layout
             y, P = fused_ln_linear_dual(
                 x, p["ln1_scale"], p["ln1_bias"],
                 p["qkv"]["q"], p["qkv"]["scale"], p["qkv_bias"],
                 p["biasw"]["q"], p["biasw"]["scale"], p["biasw_bias"],
-                cfg.layer_norm_eps, w8a8=cfg.mlp_w8a8, interpret=interp,
+                cfg.layer_norm_eps, w8a8=cfg.mlp_w8a8,
+                rows2=rows * cols if pad_rows else 0, interpret=interp,
             )
-            A, Bb = _assemble_bias_terms(P, rows, cols, W, cfg.num_heads)
+            A, Bb = _assemble_bias_terms(
+                P, rows, cols, W, cfg.num_heads, pad_rows=pad_rows
+            )
         else:
             y = fused_ln_linear(
                 x, p["ln1_scale"], p["ln1_bias"],
@@ -864,7 +892,9 @@ def _attn_resident_cls(
     if rows == W and cols == W:
         out = fused_window_attention_grid(
             y, A, Bb, num_heads=H, head_dim=hd, window=W,
-            scale=hd**-0.5, dots_i8=cfg.attn_dots_i8, interpret=interp,
+            scale=hd**-0.5, dots_i8=cfg.attn_dots_i8,
+            total_rows=y.shape[1] if y.shape[1] != W * W else 0,
+            interpret=interp,
         )
     else:
         oh = _rect_onehot(rows, cols, W, y.dtype)
@@ -938,26 +968,51 @@ def _attn_resident_edge_pair(
             p["qkv"]["q"], p["qkv"]["scale"], p["qkv_bias"],
             cfg.layer_norm_eps, w8a8=cfg.mlp_w8a8, interpret=interp,
         )
-    outs = []
-    for name, y in (("right", ym[:Nr]), ("bottom", ym[Nr:])):
-        rows, cols = _class_geometry(name, cfg)
-        if Pm is not None:
-            P = Pm[:Nr] if name == "right" else Pm[Nr:]
-            A, Bb = _assemble_bias_terms(P, rows, cols, W, H)
-        else:
+    if Pm is not None:
+        # Dual-geometry rect launch: both halves of the merged qkv output
+        # run in ONE kernel call with per-half tables routed by the block
+        # index maps — the [2*N, T, 3C] -> halves split copy (~28 ms per
+        # B=48 encode) never materializes.
+        A_parts, B_parts, ohs, pks, pvs = [], [], [], [], []
+        for idx, name in enumerate(("right", "bottom")):
+            rows, cols = _class_geometry(name, cfg)
+            P_half = Pm[:Nr] if idx == 0 else Pm[Nr:]
+            A, Bb = _assemble_bias_terms(P_half, rows, cols, W, H)
+            A_parts.append(A)
+            B_parts.append(Bb)
+            ohs.append(_rect_onehot(rows, cols, W, ym.dtype))
+            pk, pv = _pad_tables(
+                p["qkv_bias"], rows, cols, W, H, hd, ym.dtype
+            )
+            pks.append(pk)
+            pvs.append(pv)
+        om = fused_window_attention_rect(
+            ym,
+            jnp.concatenate(A_parts, axis=0),
+            jnp.concatenate(B_parts, axis=0),
+            jnp.stack(ohs), jnp.stack(pks), jnp.stack(pvs),
+            num_heads=H, head_dim=hd, window=W, scale=hd**-0.5,
+            dots_i8=cfg.attn_dots_i8, interpret=interp,
+        )
+    else:
+        outs = []
+        for name, y in (("right", ym[:Nr]), ("bottom", ym[Nr:])):
+            rows, cols = _class_geometry(name, cfg)
             A, Bb = _bias_terms_rect(
                 y, p["rel_pos_h"], p["rel_pos_w"], cfg, rows, cols, W
             )
-        oh = _rect_onehot(rows, cols, W, y.dtype)
-        pad_k, pad_v = _pad_tables(p["qkv_bias"], rows, cols, W, H, hd, y.dtype)
-        outs.append(
-            fused_window_attention_rect(
-                y, A, Bb, oh, pad_k, pad_v, num_heads=H, head_dim=hd,
-                window=W, scale=hd**-0.5, dots_i8=cfg.attn_dots_i8,
-                interpret=interp,
+            oh = _rect_onehot(rows, cols, W, y.dtype)
+            pad_k, pad_v = _pad_tables(
+                p["qkv_bias"], rows, cols, W, H, hd, y.dtype
             )
-        )
-    om = jnp.concatenate(outs, axis=0)
+            outs.append(
+                fused_window_attention_rect(
+                    y, A, Bb, oh, pad_k, pad_v, num_heads=H, head_dim=hd,
+                    window=W, scale=hd**-0.5, dots_i8=cfg.attn_dots_i8,
+                    interpret=interp,
+                )
+            )
+        om = jnp.concatenate(outs, axis=0)
     return fused_linear(
         om, p["proj"]["q"], p["proj"]["scale"], p["proj_bias"],
         residual=xm, w8a8=cfg.mlp_w8a8, interpret=interp,
@@ -1015,12 +1070,21 @@ def encode(
     )
 
     resident = _use_resident(cfg, params["window_blocks"])
+    # Padded full-class layout (tile-aligned rows): only on the composite
+    # serving path, where the dual LN+qkv kernel emits bias terms at the
+    # real row count and the grid kernel masks the pad keys.
+    ws2 = cfg.window_size * cfg.window_size
+    pad_full_to = (
+        -(-ws2 // 8) * 8
+        if resident and ws2 % 8 and "biasw" in params["window_blocks"]
+        else 0
+    )
 
     def group_body(h, xs):
         wparams, gparams = xs
 
         if resident:
-            cls = _partition_resident(h, cfg.window_size)
+            cls = _partition_resident(h, cfg.window_size, pad_full_to)
 
             def win_body(hh, wp):
                 return _block_resident(hh, wp, cfg), None

@@ -187,8 +187,13 @@ def flash_attention_fwd(
     sk = k.shape[2]
     # Auto blocks (measured on v5e, 7B shapes): sq//2 x full-k wins at
     # S=1024 (1.95 vs 2.37 ms for the old 256/512) AND at S=512 (where it
-    # resolves to the old default).
-    block_q = min(block_q or min(512, max(256, sq // 2)), sq)
+    # resolves to the old default). Round-5 re-sweep at the seq-1024
+    # training point (B=4, value_and_grad, tools/microbench/
+    # flash_train_variants.py): whole-seq 1024x1024 fwd blocks beat
+    # 512x1024 by ~15% (13.37 vs 15.72 ms incl dispatch) — fewer q-tile
+    # passes re-reading k/v.
+    auto_bq = 1024 if sq % 1024 == 0 else min(512, max(256, sq // 2))
+    block_q = min(block_q or auto_bq, sq)
     block_k = min(block_k or 1024, sk)
     grid = (b, h, pl.cdiv(sq, block_q), pl.cdiv(sk, block_k))
 

@@ -580,6 +580,7 @@ def _ln_linear2_kernel(
     o_ref, o2_ref,
     *, eps: float, w8a8: bool,
 ):
+    rows2 = o2_ref.shape[1]  # <= T: second output may drop pad tail rows
     for wi in range(x_ref.shape[0]):
         xf = x_ref[wi].astype(jnp.float32)
         mean = jnp.mean(xf, axis=-1, keepdims=True)
@@ -613,7 +614,9 @@ def _ln_linear2_kernel(
                 preferred_element_type=jnp.float32,
             ) * s2_ref[...] + b2_ref[...].astype(jnp.float32)
         o_ref[wi] = y.astype(o_ref.dtype)
-        o2_ref[wi] = p.astype(o2_ref.dtype)
+        # Prefix row slice (aligned start): pad tail rows of the padded
+        # window layout carry no bias terms.
+        o2_ref[wi] = p[:rows2].astype(o2_ref.dtype)
 
 
 def fused_ln_linear_dual(
@@ -628,10 +631,14 @@ def fused_ln_linear_dual(
     bias2: jax.Array,  # [F2]
     eps: float,
     w8a8: bool = True,
+    rows2: int = 0,
     interpret: bool = False,
 ):
     """`fused_ln_linear` with a second weight set sharing the same LN'd
     (and quantized) activations: returns (x_n @ W + b, x_n @ W2 + b2).
+    `rows2` (0 = T) trims the second output to its leading rows — the
+    padded window layout carries pad tail rows in y but not in the
+    bias-term matrix.
 
     Built for the SAM window blocks' decomposed rel-pos bias terms: since
     A = (LN(x) @ Wq + bq) @ BD(rel_pos) = LN(x) @ (Wq @ BD) + bq @ BD, the
@@ -649,6 +656,7 @@ def fused_ln_linear_dual(
     N, T, C = x.shape
     F = w_q.shape[1]
     F2 = w2_q.shape[1]
+    rows2 = rows2 or T
     wb = 1
     while wb < N and wb * T < 1024 and N % (wb * 2) == 0:
         wb *= 2
@@ -671,12 +679,12 @@ def fused_ln_linear_dual(
         out_specs=[
             pl.BlockSpec((wb, T, F), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((wb, T, F2), lambda i: (i, 0, 0),
+            pl.BlockSpec((wb, rows2, F2), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((N, T, F), x.dtype),
-            jax.ShapeDtypeStruct((N, T, F2), x.dtype),
+            jax.ShapeDtypeStruct((N, rows2, F2), x.dtype),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024

@@ -112,7 +112,7 @@ def fused_window_attention(
 
 def _grid_kernel(
     y_ref, a_ref, b_ref, oh_ref, o_ref, *, num_heads: int, head_dim: int,
-    scale: float, window: int, dots_i8: bool = False,
+    scale: float, window: int, dots_i8: bool = False, real_tokens: int = 0,
 ):
     # y [nb, S, 3C] raw qkv projection output (column order (3, H, hd));
     # a/b [nb, S, H*W] bias terms in REVERSED column order (see
@@ -129,6 +129,14 @@ def _grid_kernel(
     b_all = b_ref[...]
     nb, S, _ = y.shape
     oh = jnp.broadcast_to(oh_ref[...][None], (nb, S, 2 * W))
+    # Padded window layout (tile-aligned rows): key columns beyond the
+    # real token count are masked out; pad QUERY rows produce garbage
+    # outputs that the caller discards at unpartition.
+    key_mask = None
+    if real_tokens and real_tokens < S:
+        key_mask = (
+            jax.lax.broadcasted_iota(jnp.int32, (S, S), 1) < real_tokens
+        )
     for h in range(H):
         q = y[:, :, h * hd:(h + 1) * hd]
         k = y[:, :, C + h * hd:C + (h + 1) * hd]
@@ -158,6 +166,8 @@ def _grid_kernel(
                 qa, ka, (((2,), (2,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32,
             ) * scale
+        if key_mask is not None:
+            s = jnp.where(key_mask[None], s, -1e30)
         m = jnp.max(s, axis=-1, keepdims=True)
         p = jnp.exp(s - m)
         p = p / jnp.sum(p, axis=-1, keepdims=True)
@@ -178,6 +188,7 @@ def fused_window_attention_grid(
     scale: float,
     n_block: int = 4,
     dots_i8: bool = False,
+    total_rows: int = 0,
     interpret: bool = False,
 ) -> jax.Array:
     """Grid-native windowed attention: consumes the raw [N, S, 3C] qkv
@@ -200,12 +211,18 @@ def fused_window_attention_grid(
     """
     N, S, _ = y.shape
     H, hd, W = num_heads, head_dim, window
-    assert S == W * W
+    real = W * W
+    # Padded layout (`total_rows` > W*W): tail rows are tile-alignment
+    # pads — valid garbage as queries (outputs discarded by the caller),
+    # masked out as keys inside the kernel.
+    assert S == (total_rows or real) and S >= real, (S, total_rows)
     assert bias_a.shape == (N, S, H * W), bias_a.shape
     while n_block > 1 and N % n_block:
         n_block //= 2
     t = jnp.arange(S)
     # Reversed one-hots: bias column a' corresponds to key row W-1-a'.
+    # Pad rows (t >= real) are masked in the kernel; their one-hot values
+    # are irrelevant.
     oh = jnp.concatenate(
         [
             (t[:, None] // W == W - 1 - jnp.arange(W)[None]),
@@ -215,7 +232,7 @@ def fused_window_attention_grid(
     ).astype(jnp.int8 if dots_i8 else y.dtype)  # [S, 2W]
     kernel = functools.partial(
         _grid_kernel, num_heads=H, head_dim=hd, scale=scale, window=W,
-        dots_i8=dots_i8,
+        dots_i8=dots_i8, real_tokens=real if S > real else 0,
     )
     bias_spec = pl.BlockSpec(
         (n_block, S, H * W), lambda n: (n, 0, 0),
@@ -272,8 +289,20 @@ def _rect_kernel(
     b_all = b_ref[...]
     nb, T, _ = y.shape
     W = a_all.shape[-1] // H
-    P = padk_ref.shape[1]
-    oh = jnp.broadcast_to(oh_ref[...][None], (nb, T, oh_ref.shape[-1]))
+    # Dual-geometry mode: tables arrive as [1, ...] blocks of a stacked
+    # [halves, ...] array, selected per program by the BlockSpec index
+    # maps (right/bottom boundary classes share one kernel launch).
+    oh_t = oh_ref[...]
+    if oh_t.ndim == 3:
+        oh_t = oh_t[0]
+    padk = padk_ref[...]
+    if padk.ndim == 4:
+        padk = padk[0]
+    padv = padv_ref[...]
+    if padv.ndim == 3:
+        padv = padv[0]
+    P = padk.shape[1]
+    oh = jnp.broadcast_to(oh_t[None], (nb, T, oh_t.shape[-1]))
     for h in range(H):
         q = y[:, :, h * hd:(h + 1) * hd]
         k = y[:, :, C + h * hd:C + (h + 1) * hd]
@@ -293,17 +322,17 @@ def _rect_kernel(
                 preferred_element_type=jnp.int32,
             ).astype(jnp.float32) * (qs * jnp.swapaxes(ks, 1, 2))
             s_real = s_real + jax.lax.dot_general(
-                abq, oh_ref[...], (((2,), (1,)), ((), ())),
+                abq, oh_t, (((2,), (1,)), ((), ())),
                 preferred_element_type=jnp.int32,
             ).astype(jnp.float32) * abss
             s_pad = jax.lax.dot_general(
-                qa, padk_ref[h], (((2,), (1,)), ((), ())),
+                qa, padk[h], (((2,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
             s = jnp.concatenate([s_real, s_pad], axis=-1) * scale
         else:
             ka = jnp.concatenate([k, oh], axis=-1)  # [nb, T, hd+2W]
-            pk = jnp.broadcast_to(padk_ref[h][None], (nb, P, ka.shape[-1]))
+            pk = jnp.broadcast_to(padk[h][None], (nb, P, ka.shape[-1]))
             ka = jnp.concatenate([ka, pk], axis=1)  # [nb, T+P, hd+2W]
             s = jax.lax.dot_general(
                 qa, ka, (((2,), (2,)), ((0,), (0,))),
@@ -318,7 +347,7 @@ def _rect_kernel(
         )
         # All pad values are the same bias_v vector: rank-1 correction.
         pad_mass = jnp.sum(p[:, :, T:], axis=-1, keepdims=True)  # [nb, T, 1]
-        o = o + pad_mass * padv_ref[h].astype(jnp.float32)[None, None, :]
+        o = o + pad_mass * padv[h].astype(jnp.float32)[None, None, :]
         o_ref[:, :, h * hd:(h + 1) * hd] = o.astype(o_ref.dtype)
 
 
@@ -344,8 +373,18 @@ def fused_window_attention_rect(
     N, T, _ = y.shape
     H, hd, W = num_heads, head_dim, window
     assert bias_a.shape == (N, T, H * W), bias_a.shape
-    while n_block > 1 and N % n_block:
+    # Dual-geometry mode: `oh`/`pad_k`/`pad_v` arrive stacked with a
+    # leading halves axis (right+bottom boundary classes in one launch);
+    # the index maps route each program its half's tables, so the
+    # XLA-side split of the merged qkv output never materializes.
+    halves = oh.shape[0] if oh.ndim == 3 else 0
+    if halves:
+        assert N % halves == 0, (N, halves)
+    while n_block > 1 and (
+        N % n_block or (halves and (N // halves) % n_block)
+    ):
         n_block //= 2
+    per_half = (N // n_block) // halves if halves else 0
     if dots_i8:
         oh = oh.astype(jnp.int8)  # exact: one-hot values are 0/1
     kernel = functools.partial(
@@ -354,9 +393,16 @@ def fused_window_attention_rect(
     bias_spec = pl.BlockSpec(
         (n_block, T, H * W), lambda n: (n, 0, 0), memory_space=pltpu.VMEM
     )
-    full = lambda a: pl.BlockSpec(
-        a.shape, lambda n: (0,) * a.ndim, memory_space=pltpu.VMEM
-    )
+    if halves:
+        table = lambda a: pl.BlockSpec(  # noqa: E731
+            (1,) + a.shape[1:],
+            lambda n: (n // per_half,) + (0,) * (a.ndim - 1),
+            memory_space=pltpu.VMEM,
+        )
+    else:
+        table = lambda a: pl.BlockSpec(  # noqa: E731
+            a.shape, lambda n: (0,) * a.ndim, memory_space=pltpu.VMEM
+        )
     return pl.pallas_call(
         kernel,
         grid=(N // n_block,),
@@ -365,9 +411,9 @@ def fused_window_attention_rect(
                          memory_space=pltpu.VMEM),
             bias_spec,
             bias_spec,
-            full(oh),
-            full(pad_k),
-            full(pad_v),
+            table(oh),
+            table(pad_k),
+            table(pad_v),
         ],
         out_specs=pl.BlockSpec((n_block, T, H * hd), lambda n: (n, 0, 0),
                                memory_space=pltpu.VMEM),
