@@ -24,7 +24,10 @@ peak — a lower bound on true utilization.
 
 Env knobs: BENCH_BATCH, BENCH_SEQ, BENCH_STEPS, BENCH_ATTN (auto|xla|
 flash), BENCH_REMAT (full|dots), BENCH_FUSED_CE, BENCH_QUANT, BENCH_SPLIT,
-BENCH_SECONDARY.
+BENCH_SECONDARY, BENCH_E2E, BENCH_MEASURED_SPLIT, BENCH_MAX_MASKS,
+BENCH_W8A8, BENCH_BIASW (composite rel-pos bias weights), BENCH_ATTN_I8
+(int8 attention score dots; measured slower, default off), BENCH_KV8,
+BENCH_LLM_A8, BENCH_PACKED.
 """
 
 from __future__ import annotations

@@ -186,7 +186,7 @@ def fused_window_attention_grid(
     head_dim: int,
     window: int,
     scale: float,
-    n_block: int = 4,
+    n_block: int = 8,  # 8 windows/program: ~8% faster than 4 (r5 sweep)
     dots_i8: bool = False,
     total_rows: int = 0,
     interpret: bool = False,
