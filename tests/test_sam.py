@@ -588,3 +588,53 @@ def test_composite_bias_weights_match_standalone_terms():
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(ref), atol=5e-3, rtol=5e-3
     )
+
+
+def test_stablehlo_export_roundtrip():
+    """The StableHLO serving artifact (the reference ONNX wrapper's
+    TPU-native counterpart, `/root/reference/models/segment_anything/
+    utils/onnx.py`) serializes, deserializes, and reproduces the direct
+    function to compile-path jitter (~1e-9), including the multi-click
+    single-mask selection trick and the gated mask-prompt blend."""
+    from ullava_tpu.models.sam import build as sam_build
+    from ullava_tpu.models.sam import export as sam_export
+
+    cfg = sam_build.SamConfig.tiny()
+    params = sam_build.init_sam_params(jax.random.PRNGKey(3), cfg)
+    rng = np.random.default_rng(11)
+    B, N = 2, 3
+    g = cfg.prompt.image_embedding_size
+    D = cfg.prompt.embed_dim
+    emb = jnp.asarray(rng.standard_normal((B, g, g, D)), jnp.float32)
+    pts = jnp.asarray(
+        rng.uniform(0, cfg.vision.img_size, (B, N, 2)), jnp.float32
+    )
+    labels = jnp.asarray([[1, 0, -1], [1, -1, -1]], jnp.int32)
+    mask_in = jnp.asarray(
+        rng.standard_normal((B, 4 * g, 4 * g, 1)), jnp.float32
+    )
+    has_mask = jnp.asarray([1.0, 0.0], jnp.float32)
+
+    fn = sam_export.make_decoder_fn(params, cfg)
+    want = fn(emb, pts, labels, mask_in, has_mask)
+
+    blob = sam_export.export_sam_decoder(
+        params, cfg, batch=B, num_points=N
+    )
+    assert isinstance(blob, (bytes, bytearray)) and len(blob) > 1000
+    loaded = sam_export.load_sam_decoder(blob)
+    got = loaded(emb, pts, labels, mask_in, has_mask)
+    for w, g_ in zip(want, got):
+        # Compile-path jitter only (different fusion choices through the
+        # serialized module): ~1e-9 absolute.
+        np.testing.assert_allclose(
+            np.asarray(w), np.asarray(g_), atol=1e-6, rtol=1e-5
+        )
+
+    # Stability-score mode and all-mask mode build and run too.
+    fn2 = sam_export.make_decoder_fn(
+        params, cfg, return_single_mask=False, use_stability_score=True
+    )
+    masks2, scores2, low2 = fn2(emb, pts, labels, mask_in, has_mask)
+    assert masks2.shape[1] == cfg.decoder.num_mask_tokens
+    assert float(jnp.min(scores2)) >= 0.0

@@ -22,3 +22,8 @@ from ullava_tpu.models.sam.build import (  # noqa: F401
     sam_vit_h,
     sam_vit_l,
 )
+from ullava_tpu.models.sam.export import (  # noqa: F401
+    export_sam_decoder,
+    load_sam_decoder,
+    make_decoder_fn,
+)

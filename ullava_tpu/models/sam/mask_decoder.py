@@ -211,6 +211,7 @@ def decode_masks(
     sparse_prompt: jax.Array,  # [B, Ns, D]
     dense_prompt: jax.Array,  # [B, g, g, D]
     multimask_output: bool = False,
+    return_all: bool = False,  # all mask tokens (export's selection trick)
 ) -> Tuple[jax.Array, jax.Array]:
     """Returns (low_res_masks [B, M, 4g, 4g], iou_pred [B, M])."""
     B = sparse_prompt.shape[0]
@@ -245,5 +246,7 @@ def decode_masks(
     masks = jnp.einsum("bmc,bhwc->bmhw", hyper, x)
     iou_pred = _apply_mlp(params["iou_head"], iou_token_out)
 
+    if return_all:
+        return masks, iou_pred
     sl = slice(1, None) if multimask_output else slice(0, 1)
     return masks[:, sl], iou_pred[:, sl]
