@@ -362,7 +362,7 @@ def fused_window_attention_rect(
     head_dim: int,
     window: int,
     scale: float,
-    n_block: int = 4,
+    n_block: int = 8,  # 8 windows/program (matches the r5 grid sweep)
     dots_i8: bool = False,
     interpret: bool = False,
 ) -> jax.Array:
